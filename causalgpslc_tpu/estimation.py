@@ -1,0 +1,166 @@
+"""Counterfactual estimation: ITE / SATE posteriors from MCMC samples.
+
+Parity targets: ``likelihoodDistribution`` (``/root/reference/src/likelihood.jl``,
+4 dispatches collapsed into one spec-driven function), ``conditionalITE`` /
+``ITEDistributions`` / ``ITEsamples`` / ``conditionalSATE`` /
+``SATEDistributions`` / ``SATEsamples`` (``src/estimation.jl``).
+
+TPU redesign: the reference loops posterior samples and re-runs O(n^3)
+conditioning per sample (``src/estimation.jl:78-84``); here the posterior
+axis is a ``vmap`` batch, so the whole mixture conditions as one batched
+Cholesky + batched triangular solves on the MXU. Sampling draws reuse one
+Cholesky per mixture component (the reference re-factorizes per draw,
+``src/estimation.jl:105``).
+
+Documented divergence (SURVEY.md §7 item 6): the reference's ``SATEsamples``
+passes a *variance* where Gen's ``normal`` expects a standard deviation
+(``src/estimation.jl:159``). The statistically correct ``sqrt(var)`` is the
+default here; ``reference_quirks=True`` reproduces the reference behavior.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models.blocks import y_kernel_log
+from .models.spec import GPSLCParams, ModelData, ModelSpec
+from .ops.kernels import process_cov, rbf_kernel_log
+from .ops.linalg import add_jitter, chol_solve, safe_cholesky, symmetrize
+
+__all__ = [
+    "conditional_ite",
+    "ite_distributions",
+    "ite_samples",
+    "conditional_sate",
+    "sate_distributions",
+    "sate_samples",
+]
+
+
+def _y_kernel_log_parts(spec: ModelSpec, data: ModelData, params: GPSLCParams):
+    """(base, ty) log-kernels: base = U/X contributions shared by all four
+    covariance blocks; ty varies between observed T and the intervened T*."""
+    dtype = data.y.dtype
+    base = jnp.zeros((spec.n, spec.n), dtype=dtype)
+    if spec.has_u:
+        base = base + rbf_kernel_log(params.u, params.u, params.uy_ls)
+    if spec.has_x:
+        base = base + rbf_kernel_log(data.x, data.x, params.xy_ls)
+    return base
+
+
+def conditional_ite(
+    spec: ModelSpec,
+    data: ModelData,
+    params: GPSLCParams,
+    do_t,
+):
+    """Closed-form GP counterfactual: mean and covariance of ``f* - f | Y``.
+
+    Mirrors ``conditionalITE`` (``src/estimation.jl:36-50``) on top of the
+    conditioning blocks of ``likelihoodDistribution`` (``src/likelihood.jl``):
+
+        MeanITE = (K(W,W*)' - K(W,W)) (K(W,W) + yNoise I)^-1 Y
+        CovITE  = C11 - C12 - C21 + C22
+    """
+    dtype = data.y.dtype
+    do_vec = jnp.full((spec.n,), do_t, dtype=dtype)
+
+    base_log = _y_kernel_log_parts(spec, data, params)
+    ty_log = rbf_kernel_log(data.t, data.t, params.ty_ls)
+    ty_log_s = rbf_kernel_log(data.t, do_vec, params.ty_ls)
+    # K(W*, W*)'s treatment part is identically zero in log space.
+
+    y_scale = params.y_scale
+    cov_ww = process_cov(base_log + ty_log, y_scale)
+    cov_wws = process_cov(base_log + ty_log_s, y_scale)
+    cov_wsws = process_cov(base_log, y_scale)
+    cov_wwp_chol = safe_cholesky(add_jitter(cov_ww, params.y_noise))
+
+    a1 = chol_solve(cov_wwp_chol, cov_ww)  # (CovWWp \ CovWW)
+    a2 = chol_solve(cov_wwp_chol, cov_wws)  # (CovWWp \ CovWWs)
+
+    mean_ite = (cov_wws.T - cov_ww) @ chol_solve(cov_wwp_chol, data.y)
+    c11 = cov_ww - cov_ww @ a1
+    c12 = cov_wws - cov_ww @ a2
+    c21 = cov_wws.T - cov_wws.T @ a1
+    c22 = cov_wsws - cov_wws.T @ a2
+    cov_ite = c11 - c12 - c21 + c22
+    return mean_ite, cov_ite
+
+
+def ite_distributions(
+    spec: ModelSpec,
+    data: ModelData,
+    samples: GPSLCParams,
+    do_t,
+    prediction_covariance_noise: float = 1e-10,
+):
+    """Batched ``conditionalITE`` over a stacked sample pytree.
+
+    ``samples`` leaves have leading dim S (retained posterior samples, chains
+    already flattened in). Returns ``(MeanITEs (S, n), CovITEs (S, n, n))``
+    with the reference's symmetrize + diagonal-noise stabilization
+    (``src/estimation.jl:82``).
+    """
+    def one(p):
+        mean, cov = conditional_ite(spec, data, p, do_t)
+        cov = symmetrize(cov)
+        cov = add_jitter(cov, prediction_covariance_noise)
+        return mean, cov
+
+    return jax.vmap(one)(samples)
+
+
+def ite_samples(key: jax.Array, mean_ites: jax.Array, cov_ites: jax.Array, n_per_mixture: int):
+    """Draw ``n_per_mixture`` MVN samples per mixture component.
+
+    Returns ``(n, S * n_per_mixture)`` — the reference's column layout
+    (``ITEsamples``, ``src/estimation.jl:95-109``) with one Cholesky per
+    component instead of one per draw.
+    """
+    s, n = mean_ites.shape
+    chols = safe_cholesky(cov_ites)  # (S, n, n) batched
+    z = jax.random.normal(key, (s, n_per_mixture, n), dtype=mean_ites.dtype)
+    draws = mean_ites[:, None, :] + jnp.einsum("sij,smj->smi", chols, z)
+    return draws.reshape(s * n_per_mixture, n).T
+
+
+def conditional_sate(mean_ite: jax.Array, cov_ite: jax.Array):
+    """``(mean(MeanITE), sum(CovITE) / n^2)`` (``src/estimation.jl:116-121``)."""
+    n = mean_ite.shape[-1]
+    return jnp.mean(mean_ite, axis=-1), jnp.sum(cov_ite, axis=(-2, -1)) / (n * n)
+
+
+def sate_distributions(
+    spec: ModelSpec,
+    data: ModelData,
+    samples: GPSLCParams,
+    do_t,
+    prediction_covariance_noise: float = 1e-10,
+):
+    mean_ites, cov_ites = ite_distributions(spec, data, samples, do_t, prediction_covariance_noise)
+    return conditional_sate(mean_ites, cov_ites)
+
+
+def sate_samples(
+    key: jax.Array,
+    mean_sates: jax.Array,
+    var_sates: jax.Array,
+    n_per_mixture: int,
+    reference_quirks: bool = False,
+):
+    """Normal draws per mixture component, flattened to (S * n_per_mixture,).
+
+    ``reference_quirks=True`` passes the variance where a standard deviation
+    belongs, byte-matching ``SATEsamples`` (``src/estimation.jl:159``).
+    """
+    s = mean_sates.shape[0]
+    scale = var_sates if reference_quirks else jnp.sqrt(var_sates)
+    z = jax.random.normal(key, (s, n_per_mixture), dtype=mean_sates.dtype)
+    draws = mean_sates[:, None] + scale[:, None] * z
+    return draws.reshape(-1)

@@ -1,0 +1,84 @@
+"""Inference configuration and priors.
+
+Parity targets: ``HyperParameters`` (``/root/reference/src/types.jl:22-30``),
+``getHyperParameters`` (``src/hyperparameters.jl:85-102`` — the *code*
+defaults, which differ from that file's docstring) and ``getPriorParameters``
+(``src/hyperparameters.jl:38-70``).
+
+TPU-native additions over the reference: ``n_chains`` (the reference runs a
+single chain; chain data-parallelism is the primary scaling axis here) and an
+explicit ``dtype`` policy (float64 for CPU parity, float32 for the TPU speed
+path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+__all__ = ["HyperParameters", "default_hyperparameters", "default_prior_parameters", "PriorParameters"]
+
+PriorParameters = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class HyperParameters:
+    """High-level inference budget.
+
+    - ``n_u``: latent confounder dimensionality (None = no-U model variants).
+    - ``n_outer``: outer Gibbs iterations = posterior samples drawn.
+    - ``n_mh_inner``: Metropolis-Hastings sweeps per outer iteration.
+    - ``n_es_inner``: elliptical-slice sweeps per outer iteration.
+    - ``n_burn_in`` / ``step_size``: retained samples are the 1-based indices
+      ``n_burn_in : step_size : n_outer`` (``src/utils.jl:156-161``).
+    - ``prediction_covariance_noise``: diagonal stabilizer for ITE covariances
+      (``src/estimation.jl:82``).
+    - ``n_chains``: independent MCMC chains, vmapped/sharded (new capability).
+    """
+
+    n_u: Optional[int] = 1
+    n_outer: int = 24
+    n_mh_inner: Optional[int] = 10
+    n_es_inner: Optional[int] = 5
+    n_burn_in: int = 10
+    step_size: int = 1
+    prediction_covariance_noise: float = 1e-10
+    n_chains: int = 1
+
+    def replace(self, **kw) -> "HyperParameters":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_posterior_samples(self) -> int:
+        """Retained samples per chain: ``length(nBurnIn:stepSize:nOuter)``."""
+        return len(range(self.n_burn_in, self.n_outer + 1, self.step_size))
+
+    def retained_indices(self) -> list[int]:
+        """0-based outer-iteration indices kept after burn-in/thinning."""
+        return [i - 1 for i in range(self.n_burn_in, self.n_outer + 1, self.step_size)]
+
+
+def default_hyperparameters(**overrides) -> HyperParameters:
+    """Reference code defaults (``src/hyperparameters.jl:85-102``)."""
+    return HyperParameters(**overrides)
+
+
+def default_prior_parameters() -> PriorParameters:
+    """Inverse-Gamma shape/scale table plus structure constants.
+
+    Matches ``getPriorParameters`` (``src/hyperparameters.jl:38-70``): every
+    InvGamma hyperprior is shape=4, scale=4; ``sigmaUNoise``/``sigmaUCov``
+    parameterize SigmaU; ``drift`` is the MH proposal variance.
+    """
+    pp: PriorParameters = {}
+    for name in [
+        "uNoise", "xNoise", "tNoise", "yNoise",
+        "xScale", "tScale", "yScale",
+        "uxLS", "utLS", "xtLS", "uyLS", "xyLS", "tyLS",
+    ]:
+        pp[name + "Shape"] = 4.0
+        pp[name + "Scale"] = 4.0
+    pp["sigmaUNoise"] = 1.0e-13
+    pp["sigmaUCov"] = 1.0
+    pp["drift"] = 0.5
+    return pp

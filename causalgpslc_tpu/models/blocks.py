@@ -1,0 +1,249 @@
+"""Per-block covariance builders and log-densities for the GPSLC family.
+
+This is the TPU-native replacement for the reference's Gen model graph
+(``/root/reference/src/model_likelihood.jl`` + ``src/model_prior.jl``): the
+joint density factorizes into four GP blocks
+
+    p(params) p(U | SigmaU, uNoise) p(X | U) p(T | U, X) p(Y | U, X, T)
+
+and every inference move touches only its Markov blanket — unlike Gen's
+dynamic DSL, which re-simulates and re-scores the *entire* model per MH move
+(``src/inference.jl:23-44``). Scoring a block = build covariance (vectorized
+log-RBF, VPU/MXU) + one Cholesky log-density (MXU), all batched over chains
+by ``vmap`` one level up.
+
+All functions are pure ``(spec, priors, data, params) -> value`` and jittable;
+``spec`` and ``priors`` are static.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.distributions import bernoulli_logit_logpdf, inv_gamma_logpdf
+from ..ops.kernels import process_cov, rbf_kernel_log
+from ..ops.linalg import mvn_logpdf, mvn_logpdf_chol, safe_cholesky
+from .spec import GPSLCParams, ModelData, ModelSpec
+
+__all__ = [
+    "FIELD_PRIOR_NAMES",
+    "field_block",
+    "u_cov",
+    "x_cov_k",
+    "t_cov",
+    "y_cov",
+    "logp_u",
+    "logp_x_k",
+    "logp_x",
+    "logp_t_gp",
+    "logp_t_bernoulli",
+    "logp_y",
+    "logp_hyper_prior",
+    "log_joint",
+    "BlockLps",
+    "compute_block_lps",
+]
+
+# Map param field -> prior-parameter name stem in the InvGamma table
+# (src/hyperparameters.jl:38-70).
+FIELD_PRIOR_NAMES = {
+    "u_noise": "uNoise",
+    "x_noise": "xNoise",
+    "t_noise": "tNoise",
+    "y_noise": "yNoise",
+    "ux_ls": "uxLS",
+    "ut_ls": "utLS",
+    "uy_ls": "uyLS",
+    "xt_ls": "xtLS",
+    "xy_ls": "xyLS",
+    "ty_ls": "tyLS",
+    "x_scale": "xScale",
+    "t_scale": "tScale",
+    "y_scale": "yScale",
+}
+
+# Which likelihood block each hyperparameter's Markov blanket covers.
+_FIELD_BLOCK = {
+    "u_noise": "u",
+    "x_noise": "x",
+    "x_scale": "x",
+    "ux_ls": "x",
+    "t_noise": "t",
+    "t_scale": "t",
+    "ut_ls": "t",
+    "xt_ls": "t",
+    "y_noise": "y",
+    "y_scale": "y",
+    "uy_ls": "y",
+    "xy_ls": "y",
+    "ty_ls": "y",
+}
+
+
+def field_block(field: str) -> str:
+    """Likelihood block affected by an MH move on ``field``."""
+    return _FIELD_BLOCK[field]
+
+
+# ---------------------------------------------------------------------------
+# Covariance builders
+# ---------------------------------------------------------------------------
+
+
+def u_cov(data: ModelData, params: GPSLCParams) -> jax.Array:
+    """Prior covariance over each U column: ``SigmaU * uNoise``
+    (``generateUfromSigmaU``, ``src/model_likelihood.jl:4-10``)."""
+    return data.sigma_u * params.u_noise
+
+
+def x_cov_k(data: ModelData, params: GPSLCParams, k: int) -> jax.Array:
+    """Covariance of covariate column k given U
+    (``generateXfromU``, ``src/model_likelihood.jl:13-22``)."""
+    log_k = rbf_kernel_log(params.u, params.u, params.ux_ls[k])
+    return process_cov(log_k, params.x_scale[k], params.x_noise[k])
+
+
+def x_cov_all(data: ModelData, params: GPSLCParams) -> jax.Array:
+    """All nX covariate covariances as one (nX, n, n) batch."""
+    covs = jax.vmap(
+        lambda ls, scale, noise: process_cov(rbf_kernel_log(params.u, params.u, ls), scale, noise)
+    )(params.ux_ls, params.x_scale, params.x_noise)
+    return covs
+
+
+def t_cov(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    """Covariance of T (continuous) or logitT (binary) given U and/or X.
+
+    Additive log-kernels over (U, X) then scale+noise, per
+    ``generateRealTfromUX`` and friends (``src/model_likelihood.jl:25-80``).
+    For the no-U-no-X variants the prior is the identity
+    (``generateRealTfromPrior``/``generateBinaryTfromPrior``,
+    ``src/model_prior.jl:175-200``).
+    """
+    dtype = data.t.dtype
+    if not spec.has_u and not spec.has_x:
+        return jnp.eye(spec.n, dtype=dtype)
+    log_cov = jnp.zeros((spec.n, spec.n), dtype=dtype)
+    if spec.has_u:
+        log_cov = log_cov + rbf_kernel_log(params.u, params.u, params.ut_ls)
+    if spec.has_x:
+        log_cov = log_cov + rbf_kernel_log(data.x, data.x, params.xt_ls)
+    return process_cov(log_cov, params.t_scale, params.t_noise)
+
+
+def y_kernel_log(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    """Additive log-kernel of the outcome GP over (U, X, T)
+    (``generateYfromUXT`` family, ``src/model_likelihood.jl:83-120``)."""
+    log_cov = rbf_kernel_log(data.t, data.t, params.ty_ls)
+    if spec.has_u:
+        log_cov = log_cov + rbf_kernel_log(params.u, params.u, params.uy_ls)
+    if spec.has_x:
+        log_cov = log_cov + rbf_kernel_log(data.x, data.x, params.xy_ls)
+    return log_cov
+
+
+def y_cov(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    return process_cov(y_kernel_log(spec, data, params), params.y_scale, params.y_noise)
+
+
+# ---------------------------------------------------------------------------
+# Block log-densities
+# ---------------------------------------------------------------------------
+
+
+def logp_u(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    """``sum_k log N(U[:, k]; 0, SigmaU * uNoise)`` — one shared Cholesky."""
+    chol = safe_cholesky(u_cov(data, params))
+    return jnp.sum(jax.vmap(lambda col: mvn_logpdf_chol(col, chol))(params.u.T))
+
+
+def logp_x_k(spec: ModelSpec, data: ModelData, params: GPSLCParams, k: int) -> jax.Array:
+    """Log-density of covariate column k given U."""
+    return mvn_logpdf(data.x[:, k], x_cov_k(data, params, k))
+
+
+def logp_x(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    """Per-column X log-densities as an (nX,) vector (batched Cholesky)."""
+    covs = x_cov_all(data, params)
+    chols = safe_cholesky(covs)
+    return jax.vmap(mvn_logpdf_chol)(data.x.T, chols)
+
+
+def logp_t_gp(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    """GP factor of the treatment block: N(T; 0, tCov) for continuous T,
+    N(logitT; 0, tCov) for binary T (the Bernoulli factor is separate)."""
+    target = params.logit_t if spec.binary_t else data.t
+    if not spec.has_u and not spec.has_x:
+        # identity covariance — standard normal
+        n = spec.n
+        return -0.5 * (jnp.sum(target * target) + n * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype=target.dtype)))
+    return mvn_logpdf(target, t_cov(spec, data, params))
+
+
+def logp_t_bernoulli(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    """``sum_i log Bernoulli(T_i | expit(logitT_i))`` (binary variants only)."""
+    return bernoulli_logit_logpdf(data.t, params.logit_t)
+
+
+def logp_y(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    return mvn_logpdf(data.y, y_cov(spec, data, params))
+
+
+def logp_hyper_prior(spec: ModelSpec, priors: dict, params: GPSLCParams) -> jax.Array:
+    """Sum of InvGamma log-priors over every present hyperparameter site."""
+    total = 0.0
+    for field, stem in FIELD_PRIOR_NAMES.items():
+        val = getattr(params, field)
+        if val is None:
+            continue
+        total = total + jnp.sum(inv_gamma_logpdf(val, priors[stem + "Shape"], priors[stem + "Scale"]))
+    return total
+
+
+def log_joint(spec: ModelSpec, priors: dict, data: ModelData, params: GPSLCParams) -> jax.Array:
+    """Full model log-joint — the reference trace score (``Gen.generate``)."""
+    lp = logp_hyper_prior(spec, priors, params) + logp_y(spec, data, params) + logp_t_gp(spec, data, params)
+    if spec.binary_t:
+        lp = lp + logp_t_bernoulli(spec, data, params)
+    if spec.has_u:
+        lp = lp + logp_u(spec, data, params)
+        if spec.has_x:
+            lp = lp + jnp.sum(logp_x(spec, data, params))
+    elif spec.has_x:
+        # NoU variants: X ~ iid N(0, I) from the prior (src/model_prior.jl:175-181)
+        n = spec.n
+        lp = lp - 0.5 * (
+            jnp.sum(data.x * data.x)
+            + n * spec.n_x * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype=data.x.dtype))
+        )
+    return lp
+
+
+# ---------------------------------------------------------------------------
+# Cached block log-likelihoods for MH sweeps
+# ---------------------------------------------------------------------------
+
+
+class BlockLps(NamedTuple):
+    """Current per-block log-likelihoods carried through a Gibbs sweep.
+
+    ``x`` is per-column (nX,) so a move on covariate k's hyperparameters only
+    refreshes entry k. Absent blocks are None.
+    """
+
+    u: Optional[jax.Array] = None
+    x: Optional[jax.Array] = None
+    t: Optional[jax.Array] = None
+    y: Optional[jax.Array] = None
+
+
+def compute_block_lps(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> BlockLps:
+    return BlockLps(
+        u=logp_u(spec, data, params) if spec.has_u else None,
+        x=logp_x(spec, data, params) if (spec.has_u and spec.has_x) else None,
+        t=logp_t_gp(spec, data, params),
+        y=logp_y(spec, data, params),
+    )
