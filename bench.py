@@ -1,0 +1,94 @@
+"""Headline benchmark: effective-samples/s/chip, GPSLC MCMC at N=500.
+
+BASELINE.json's north-star metric. Runs the chain-batched sampler on whatever
+accelerator JAX exposes (the axon TPU chip in the driver environment; CPU
+elsewhere), then prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Baseline: the Julia reference publishes no numbers and cannot run in this
+image, so the baseline is the measured single-chain throughput of
+``benchmarks/reference_numpy.py`` — a faithful numpy re-creation of the
+reference's algorithm (full-joint re-scoring per MH move, LAPACK Cholesky,
+float64), cached in ``benchmarks/baseline_measured.json``. Both samplers use
+identical transition kernels, so effective-samples-per-draw cancels in the
+ratio and ``vs_baseline`` reduces to a draws/s ratio at matched
+(N, budget, variant).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).parent
+N = 500
+N_CHAINS = 16
+N_OUTER = 10
+
+
+def make_synthetic(n: int, rng: np.random.Generator):
+    """Same synthetic NoCov dataset as benchmarks/reference_numpy.py."""
+    import pandas as pd
+
+    obj = np.repeat(np.arange((n + 3) // 4), 4)[:n]
+    return pd.DataFrame({"T": rng.normal(size=n), "Y": rng.normal(size=n), "obj": obj})
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import causalgpslc_tpu as cg
+    from causalgpslc_tpu.diagnostics import effective_sample_size
+    from causalgpslc_tpu.inference.gibbs import run_mcmc_jit
+    from causalgpslc_tpu.models.spec import make_model_data
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    rng = np.random.default_rng(0)
+    prepared = cg.prepare_data(make_synthetic(N, rng))
+    hp = cg.default_hyperparameters(
+        n_u=1, n_outer=N_OUTER, n_mh_inner=10, n_es_inner=5, n_burn_in=1, n_chains=N_CHAINS
+    )
+    pp = cg.default_prior_parameters()
+    spec, data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)
+
+    # compile + warmup
+    samples, stats, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
+    jax.block_until_ready(samples)
+
+    t0 = time.perf_counter()
+    samples, stats, _ = run_mcmc_jit(jax.random.PRNGKey(1), spec, pp, data, hp)
+    jax.block_until_ready(samples)
+    wall = time.perf_counter() - t0
+
+    draws_per_sec = N_CHAINS * N_OUTER / wall
+    ess_vals = [
+        effective_sample_size(np.asarray(getattr(samples, f)).reshape(N_CHAINS, N_OUTER))
+        for f in ("ty_ls", "y_noise", "y_scale")
+    ]
+    ess_per_draw = float(np.min(ess_vals)) / (N_CHAINS * N_OUTER)
+    ess_per_sec = draws_per_sec * ess_per_draw
+
+    base = json.loads((ROOT / "benchmarks" / "baseline_measured.json").read_text())
+    vs_baseline = draws_per_sec / base["draws_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": f"effective_samples_per_s_per_chip (GPSLC MCMC, N={N}, {platform})",
+                "value": round(ess_per_sec, 4),
+                "unit": "ess/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

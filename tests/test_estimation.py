@@ -1,0 +1,112 @@
+"""Tier-3 analytic-identity estimation tests (mirrors `test/estimation.jl`).
+
+With ``doT == T`` the counterfactual equals the factual, so conditionalITE
+and conditionalSATE must be exactly 0 for every variant
+(`test/estimation.jl:6-137`); the mixture distributions then center at 0
+with covariance equal to predictionCovarianceNoise (`:139-247`), and sampled
+variance matches it (`:251-393`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from causalgpslc_tpu import estimation
+from causalgpslc_tpu.models.spec import GPSLCParams, ModelData, ModelSpec
+
+DO_T = 0.6
+PRED_NOISE = 1e-10
+
+
+def make_case(has_u, has_x, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    spec = ModelSpec(n=n, n_u=2 if has_u else None, n_x=3 if has_x else None, binary_t=False)
+    data = ModelData(
+        t=jnp.full((n,), DO_T),
+        y=jnp.asarray(rng.normal(size=n)),
+        x=jnp.asarray(rng.normal(size=(n, 3))) if has_x else None,
+        sigma_u=jnp.eye(n) * (1 + 1e-13) if has_u else None,
+    )
+    params = GPSLCParams(
+        u=jnp.asarray(rng.normal(size=(n, 2))) if has_u else None,
+        uy_ls=jnp.asarray([1.0, 2.0]) if has_u else None,
+        xy_ls=jnp.asarray([1.0, 0.5, 2.0]) if has_x else None,
+        ty_ls=jnp.asarray(1.0),
+        y_noise=jnp.asarray(0.5),
+        y_scale=jnp.asarray(1.3),
+    )
+    return spec, data, params
+
+
+VARIANTS = [(u, x) for u in (True, False) for x in (True, False)]
+
+
+@pytest.mark.parametrize("has_u,has_x", VARIANTS)
+def test_conditional_ite_identity(has_u, has_x):
+    spec, data, params = make_case(has_u, has_x)
+    mean, cov = estimation.conditional_ite(spec, data, params, DO_T)
+    np.testing.assert_allclose(mean, 0.0, atol=1e-10)
+    np.testing.assert_allclose(cov, 0.0, atol=1e-10)
+
+
+@pytest.mark.parametrize("has_u,has_x", VARIANTS)
+def test_conditional_sate_identity(has_u, has_x):
+    spec, data, params = make_case(has_u, has_x)
+    mean, cov = estimation.conditional_ite(spec, data, params, DO_T)
+    ms, vs = estimation.conditional_sate(mean, cov)
+    assert float(ms) == pytest.approx(0.0, abs=1e-10)
+    assert float(vs) == pytest.approx(0.0, abs=1e-10)
+
+
+def _stack_params(params, s):
+    return jax.tree.map(lambda a: jnp.broadcast_to(a, (s,) + a.shape), params)
+
+
+@pytest.mark.parametrize("has_u,has_x", VARIANTS)
+def test_ite_distributions_identity(has_u, has_x):
+    spec, data, params = make_case(has_u, has_x)
+    samples = _stack_params(params, 3)
+    means, covs = estimation.ite_distributions(spec, data, samples, DO_T, PRED_NOISE)
+    assert means.shape == (3, spec.n)
+    np.testing.assert_allclose(means, 0.0, atol=1e-10)
+    # covariance collapses to the stabilizing diagonal
+    for s in range(3):
+        np.testing.assert_allclose(covs[s], PRED_NOISE * np.eye(spec.n), atol=1e-12)
+
+
+def test_ite_samples_variance_matches_prediction_noise():
+    spec, data, params = make_case(True, True)
+    samples = _stack_params(params, 2)
+    means, covs = estimation.ite_distributions(spec, data, samples, DO_T, PRED_NOISE)
+    draws = estimation.ite_samples(jax.random.PRNGKey(0), means, covs, 4000)
+    assert draws.shape == (spec.n, 2 * 4000)
+    assert np.asarray(draws).var() == pytest.approx(PRED_NOISE, rel=0.1)
+
+
+def test_sate_samples_correct_vs_quirk():
+    means = jnp.asarray([0.0, 0.0])
+    var = jnp.asarray([4.0, 4.0])
+    correct = estimation.sate_samples(jax.random.PRNGKey(0), means, var, 4000)
+    assert float(np.std(np.asarray(correct))) == pytest.approx(2.0, rel=0.05)
+    # reference quirk: variance used as the std (src/estimation.jl:159)
+    quirk = estimation.sate_samples(jax.random.PRNGKey(0), means, var, 4000, reference_quirks=True)
+    assert float(np.std(np.asarray(quirk))) == pytest.approx(4.0, rel=0.05)
+
+
+def test_cross_covariance_not_symmetric_in_general():
+    """K(W, W*) is not symmetric when T values differ (src/likelihood.jl:36)."""
+    rng = np.random.default_rng(5)
+    n = 4
+    spec = ModelSpec(n=n, n_u=None, n_x=None, binary_t=False)
+    data = ModelData(t=jnp.asarray(rng.normal(size=n)), y=jnp.asarray(rng.normal(size=n)))
+    params = GPSLCParams(
+        ty_ls=jnp.asarray(1.0), y_noise=jnp.asarray(0.3), y_scale=jnp.asarray(1.0)
+    )
+    mean, cov = estimation.conditional_ite(spec, data, params, 2.5)
+    # nonzero counterfactual shift and finite covariance
+    assert float(jnp.max(jnp.abs(mean))) > 0
+    assert np.isfinite(np.asarray(cov)).all()
+    # ITE covariance is symmetric by construction after symmetrize
+    means, covs = estimation.ite_distributions(spec, data, _stack_params(params, 1), 2.5, PRED_NOISE)
+    np.testing.assert_allclose(covs[0], np.asarray(covs[0]).T, atol=1e-12)

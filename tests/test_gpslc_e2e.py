@@ -1,0 +1,88 @@
+"""Tier-5 end-to-end golden tests (mirrors `test/gpslc.jl` + `test/driver.jl`).
+
+`gpslc` accepts all 4 data shapes at tiny budgets; the NEEC regression
+compares `summarize_estimates(sample_ite(g, 0.6))` against the reference's
+golden CSV requiring >=50% of per-individual means inside the golden 90%
+credible intervals (`test/driver.jl:45-52`, countCloseEnough at
+`test/test_utils.jl:3-12`).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import causalgpslc_tpu as cg
+
+TINY = dict(n_outer=4, n_mh_inner=2, n_es_inner=2, n_burn_in=2)
+
+
+@pytest.mark.parametrize(
+    "csv", ["minimal.csv", "no_cov.csv", "no_objects.csv", "no_objects_no_cov.csv"]
+)
+def test_gpslc_accepts_all_data_shapes(csv, data_dir):
+    hp = cg.default_hyperparameters(n_u=1, **TINY)
+    g = cg.gpslc(str(data_dir / csv), hyperparams=hp)
+    ite = cg.sample_ite(g, 0.5, samples_per_posterior=2)
+    assert ite.shape[0] == g.n
+    assert np.isfinite(ite).all()
+    df = cg.summarize_estimates(ite)
+    assert list(df.columns) == ["Individual", "Mean", "LowerBound", "UpperBound"]
+    assert (df.LowerBound <= df.UpperBound).all()
+
+
+def count_close_enough(our_means, golden):
+    """The reference's acceptance criterion (test/test_utils.jl:3-12)."""
+    inside = (our_means >= golden.LowerBound) & (our_means <= golden.UpperBound)
+    return inside.mean()
+
+
+@pytest.mark.slow
+def test_neec_golden_regression(data_dir):
+    hp = cg.default_hyperparameters(n_outer=25, n_u=2, n_mh_inner=3, n_es_inner=5, n_burn_in=10)
+    g = cg.gpslc(str(data_dir / "NEEC_sampled.csv"), hyperparams=hp, seed=42)
+    ite = cg.sample_ite(g, 0.6, samples_per_posterior=10)
+    df = cg.summarize_estimates(ite)
+    golden = pd.read_csv(data_dir / "golden" / "NEEC_sampled_0.6.csv")
+    assert count_close_enough(df.Mean, golden) >= 0.5
+
+
+def test_io_round_trip(tmp_path, data_dir):
+    hp = cg.default_hyperparameters(n_u=1, **TINY)
+    g = cg.gpslc(str(data_dir / "no_cov.csv"), hyperparams=hp)
+    path = cg.save_gpslc_object(g, str(tmp_path / "model"))
+    assert path.endswith(".gpslc")
+    g2 = cg.load_gpslc_object(str(tmp_path / "model"))
+    assert g2.hyperparams == g.hyperparams
+    assert g2.spec == g.spec
+    ite1 = cg.sample_ite(g, 0.3, samples_per_posterior=2)
+    ite2 = cg.sample_ite(g2, 0.3, samples_per_posterior=2)
+    np.testing.assert_allclose(ite1, ite2)
+
+
+def test_predict_counterfactual_effects(data_dir):
+    hp = cg.default_hyperparameters(n_u=1, **TINY)
+    g = cg.gpslc(str(data_dir / "no_cov.csv"), hyperparams=hp)
+    ite, do_ts = cg.predict_counterfactual_effects(g, 2, fidelity=5)
+    n_retained = g.num_posterior_samples
+    assert ite.shape == (6, g.n, n_retained * 2)
+    t = np.asarray(g.prepared.t)
+    assert do_ts[0] == pytest.approx(t.min())
+    assert do_ts[-1] == pytest.approx(t.max())
+    assert np.isfinite(ite).all()
+
+
+def test_from_arrays_entry():
+    rng = np.random.default_rng(0)
+    n = 16
+    obj = np.repeat(["a", "b", "c", "d"], 4)
+    g = cg.from_arrays(
+        obj=obj,
+        x=rng.normal(size=(n, 2)),
+        t=rng.normal(size=n),
+        y=rng.normal(size=n),
+        hyperparams=cg.default_hyperparameters(n_u=1, **TINY),
+    )
+    assert g.spec.name == "CausalGPSLCRealT"
+    # SigmaU built from group counts (not raw labels)
+    assert g.prepared.sigma_u.shape == (n, n)
+    assert g.prepared.sigma_u[0, 3] == 1.0 and g.prepared.sigma_u[0, 4] == 0.0

@@ -1,0 +1,152 @@
+"""Tier-4 MCMC behavioral tests (mirrors `test/inference.jl`).
+
+The reference's stuck-chain detector: every latent address must change
+across iterations for all 8 Posterior variants at small budgets
+(`test/inference.jl:9-28`, `:31-87`). Plus kernel-level correctness checks
+for the MH proposal and elliptical slice sampler.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import causalgpslc_tpu as cg
+from causalgpslc_tpu.diagnostics import stuck_sites
+from causalgpslc_tpu.inference.ess import ess_update
+from causalgpslc_tpu.inference.gibbs import run_mcmc_jit
+from causalgpslc_tpu.inference.mh import sweep_moves
+from causalgpslc_tpu.inference.proposal import drift_params
+from causalgpslc_tpu.models.spec import ModelData, ModelSpec, make_model_data
+from causalgpslc_tpu.ops.linalg import safe_cholesky
+
+from test_models import make_case
+
+# Budgets sized so a healthy ~50%-acceptance site is stuck by chance with
+# probability < 1e-6 per component (the degenerate NoU-NoCov variants run the
+# MH moves once per outer iteration, so n_outer dominates there).
+HP = dict(n_outer=12, n_mh_inner=4, n_es_inner=2, n_burn_in=1)
+ALL_VARIANTS = [
+    (u, x, b) for u in (True, False) for x in (True, False) for b in (True, False)
+]
+
+
+def test_drift_proposal_moments():
+    """shape = cur^2/var + 2, scale = cur(shape-1) gives mean=cur, var=drift."""
+    cur, var = 1.7, 0.5
+    shape, scale = drift_params(jnp.asarray(cur), var)
+    mean = scale / (shape - 1)
+    variance = scale**2 / ((shape - 1) ** 2 * (shape - 2))
+    assert float(mean) == pytest.approx(cur, rel=1e-12)
+    assert float(variance) == pytest.approx(var, rel=1e-12)
+
+
+def test_sweep_moves_counts():
+    """Move counts match the reference sweeps: ~(6+2nU+nU*nX+4nX) addresses."""
+    spec, _ = make_case(True, True, False)  # nU=2, nX=3
+    assert len(sweep_moves(spec)) == 6 + 2 * 2 + 2 * 3 + 4 * 3
+    spec_nocov, _ = make_case(True, False, False)
+    assert len(sweep_moves(spec_nocov)) == 6 + 2 * 2
+    spec_nou, _ = make_case(False, True, False)
+    assert len(sweep_moves(spec_nou)) == 5 + 2 * 3
+    spec_none, _ = make_case(False, False, False)
+    assert len(sweep_moves(spec_none)) == 3
+
+
+@pytest.mark.parametrize("has_u,has_x,binary_t", ALL_VARIANTS)
+def test_no_stuck_sites(has_u, has_x, binary_t):
+    """Every latent site must move across outer iterations (stuck detector)."""
+    spec, data = make_case(has_u, has_x, binary_t)
+    pp = cg.default_prior_parameters()
+    hp = cg.default_hyperparameters(n_chains=2, n_u=spec.n_u, **HP)
+    samples, stats, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
+    stuck = stuck_sites(samples)
+    # logit_t in the NoU-NoCov binary variant is never updated, matching the
+    # reference (no ESS at all there, src/inference.jl:370-377)
+    if binary_t and not has_u and not has_x:
+        stuck = [s for s in stuck if s == "logit_t"]
+        assert stuck == ["logit_t"]
+    else:
+        assert stuck == []
+
+
+def test_chains_differ_and_are_reproducible():
+    spec, data = make_case(True, False, False)
+    pp = cg.default_prior_parameters()
+    hp = cg.default_hyperparameters(n_chains=3, n_u=spec.n_u, **HP)
+    s1, _, _ = run_mcmc_jit(jax.random.PRNGKey(7), spec, pp, data, hp)
+    s2, _, _ = run_mcmc_jit(jax.random.PRNGKey(7), spec, pp, data, hp)
+    np.testing.assert_array_equal(np.asarray(s1.ty_ls), np.asarray(s2.ty_ls))
+    ty = np.asarray(s1.ty_ls)
+    assert not np.allclose(ty[0], ty[1])
+
+
+def test_mh_acceptance_rate_sane():
+    spec, data = make_case(True, True, False)
+    pp = cg.default_prior_parameters()
+    hp = cg.default_hyperparameters(n_chains=4, n_u=spec.n_u, n_outer=8, n_mh_inner=2, n_es_inner=1, n_burn_in=1)
+    _, stats, _ = run_mcmc_jit(jax.random.PRNGKey(1), spec, pp, data, hp)
+    rate = float(np.mean(np.asarray(stats.mh_accept_rate)))
+    assert 0.05 < rate < 0.95
+
+
+def test_ess_update_preserves_gaussian_target():
+    """ESS with prior N(0, S) and Gaussian likelihood must sample the exact
+    Gaussian posterior; checks mean/cov against the closed form."""
+    n = 3
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(n, n))
+    prior_cov = a @ a.T + n * np.eye(n)
+    lik_prec = np.diag([2.0, 0.5, 1.0])
+    obs = np.asarray([1.0, -1.0, 0.5])
+    # posterior: Sigma* = (P^-1 + L)^-1 ; mu* = Sigma* L obs
+    post_cov = np.linalg.inv(np.linalg.inv(prior_cov) + lik_prec)
+    post_mean = post_cov @ lik_prec @ obs
+
+    chol = safe_cholesky(jnp.asarray(prior_cov))
+    lp = jnp.asarray(lik_prec)
+    obs_j = jnp.asarray(obs)
+
+    def loglik(f):
+        d = f - obs_j
+        return -0.5 * d @ lp @ d, jnp.zeros(())
+
+    def step(carry, key):
+        f, ll = carry
+        f, ll, _, _ = ess_update(key, f, chol, loglik, ll)
+        return (f, ll), f
+
+    f0 = jnp.zeros(n)
+    keys = jax.random.split(jax.random.PRNGKey(2), 20000)
+    (_, _), draws = jax.lax.scan(step, (f0, loglik(f0)[0]), keys)
+    draws = np.asarray(draws)[2000:]
+    np.testing.assert_allclose(draws.mean(axis=0), post_mean, atol=0.1)
+    np.testing.assert_allclose(np.cov(draws.T), post_cov, atol=0.15)
+
+
+def test_invgamma_mh_preserves_invgamma_target():
+    """Single-site MH with the drift proposal targeting a pure InvGamma prior
+    (no likelihood) must reproduce InvGamma moments."""
+    from causalgpslc_tpu.ops.distributions import inv_gamma_logpdf
+    from causalgpslc_tpu.inference.proposal import propose, proposal_logpdf
+
+    shape, scale, drift = 4.0, 4.0, 0.5
+
+    def step(x, key):
+        k1, k2 = jax.random.split(key)
+        prop = propose(k1, x, drift)
+        log_alpha = (
+            inv_gamma_logpdf(prop, shape, scale)
+            - inv_gamma_logpdf(x, shape, scale)
+            + proposal_logpdf(x, prop, drift)
+            - proposal_logpdf(prop, x, drift)
+        )
+        accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) < log_alpha
+        return jnp.where(accept, prop, x), x
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 60000)
+    _, draws = jax.lax.scan(step, jnp.asarray(1.0), keys)
+    draws = np.asarray(draws)[5000:]
+    # InvGamma(4, 4): mean = 4/3, var = 16/(9*2) = 8/9
+    assert draws.mean() == pytest.approx(4.0 / 3.0, rel=0.05)
+    assert draws.var() == pytest.approx(8.0 / 9.0, rel=0.25)

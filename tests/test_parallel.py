@@ -1,0 +1,65 @@
+"""Multi-device chain sharding on the 8-way virtual CPU mesh.
+
+The reference has no distributed tests at all (SURVEY.md §4); this tier is
+new capability: chains shard across a device mesh and pooled statistics
+lower to collectives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import causalgpslc_tpu as cg
+from causalgpslc_tpu.models.spec import make_model_data
+from causalgpslc_tpu.parallel import chain_mesh, pooled_chain_stats, run_mcmc_sharded
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    import pathlib
+
+    d = cg.prepare_data(str(pathlib.Path(__file__).parent / "data" / "no_cov.csv"))
+    hp = cg.default_hyperparameters(
+        n_outer=3, n_mh_inner=1, n_es_inner=1, n_burn_in=1, n_u=1, n_chains=8
+    )
+    pp = cg.default_prior_parameters()
+    spec, data = make_model_data(d, n_u=hp.n_u)
+    return spec, pp, data, hp
+
+
+def test_mesh_covers_devices():
+    mesh = chain_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("chains",)
+
+
+def test_run_mcmc_sharded_matches_shapes(tiny_setup):
+    spec, pp, data, hp = tiny_setup
+    mesh = chain_mesh()
+    samples, stats, final = run_mcmc_sharded(jax.random.PRNGKey(0), spec, pp, data, hp, mesh)
+    assert samples.ty_ls.shape == (hp.n_chains, hp.n_outer)
+    assert samples.u.shape == (hp.n_chains, hp.n_outer, spec.n, 1)
+    # sharded chain-major over the mesh
+    shard_axes = samples.ty_ls.sharding.spec
+    assert shard_axes[0] == "chains"
+    pooled = pooled_chain_stats(stats)
+    assert np.isfinite(float(pooled["mean_mh_accept_rate"]))
+
+
+def test_sharded_chains_are_independent(tiny_setup):
+    spec, pp, data, hp = tiny_setup
+    mesh = chain_mesh()
+    samples, _, _ = run_mcmc_sharded(jax.random.PRNGKey(0), spec, pp, data, hp, mesh)
+    ty = np.asarray(samples.ty_ls)
+    # distinct chains must not be byte-identical
+    assert len({tuple(row) for row in ty}) == hp.n_chains
+
+
+def test_sharded_rejects_bad_chain_count(tiny_setup):
+    spec, pp, data, hp = tiny_setup
+    mesh = chain_mesh()
+    with pytest.raises(ValueError, match="multiple of mesh size"):
+        run_mcmc_sharded(
+            jax.random.PRNGKey(0), spec, pp, data, hp.replace(n_chains=3), mesh
+        )
