@@ -58,13 +58,15 @@ def main():
     pp = cg.default_prior_parameters()
     spec, data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)
 
-    # compile + warmup
+    # compile + warmup. NOTE: synchronize via host transfer (np.asarray), not
+    # block_until_ready — the axon PJRT backend returns from block_until_ready
+    # before execution finishes, so only a device_get is a true barrier.
     samples, stats, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
-    jax.block_until_ready(samples)
+    np.asarray(samples.ty_ls)
 
     t0 = time.perf_counter()
     samples, stats, _ = run_mcmc_jit(jax.random.PRNGKey(1), spec, pp, data, hp)
-    jax.block_until_ready(samples)
+    np.asarray(samples.ty_ls)
     wall = time.perf_counter() - t0
 
     draws_per_sec = N_CHAINS * N_OUTER / wall

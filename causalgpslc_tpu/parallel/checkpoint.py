@@ -1,0 +1,139 @@
+"""Mid-run MCMC checkpointing and resumption.
+
+The reference can only checkpoint *after* inference (whole-object
+serialization, ``/root/reference/src/io.jl``) because its GPSLCObject
+constructor runs inference as a side effect — a crash loses the entire run
+(SURVEY.md §5). Here the outer Gibbs loop executes in chunks of jitted scans
+with the full chain-state pytree (params of every chain + PRNG key + retained
+samples so far) snapshotted between chunks, so long multi-host runs resume
+mid-MCMC bit-exactly.
+
+Format: a single ``.npz`` of the flattened pytree (None-valued sites are
+recorded in metadata), no external checkpoint dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..hyperparameters import HyperParameters
+from ..inference.gibbs import make_outer_step
+from ..models.spec import GPSLCParams, ModelData, ModelSpec
+from ..models.state import init_from_prior
+
+__all__ = ["save_chain_state", "load_chain_state", "run_mcmc_checkpointed"]
+
+
+def _params_to_arrays(params: GPSLCParams) -> dict:
+    return {
+        f: np.asarray(getattr(params, f))
+        for f in params._fields
+        if getattr(params, f) is not None
+    }
+
+
+def _params_from_arrays(arrays: dict) -> GPSLCParams:
+    return GPSLCParams(**{f: arrays[f] for f in arrays})
+
+
+def save_chain_state(path: str, params: GPSLCParams, key, outer_done: int, samples=None):
+    """Atomically write chain state (+ optionally retained samples so far)."""
+    path = pathlib.Path(path)
+    payload = {f"params/{k}": v for k, v in _params_to_arrays(params).items()}
+    payload["key"] = np.asarray(key)
+    if samples is not None:
+        payload.update({f"samples/{k}": v for k, v in _params_to_arrays(samples).items()})
+    payload["meta"] = np.frombuffer(
+        json.dumps({"outer_done": int(outer_done)}).encode(), dtype=np.uint8
+    )
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+    return str(path)
+
+
+def load_chain_state(path: str):
+    """Returns (params, key, outer_done, samples-or-None)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        params = _params_from_arrays(
+            {k.split("/", 1)[1]: z[k] for k in z.files if k.startswith("params/")}
+        )
+        sample_keys = [k for k in z.files if k.startswith("samples/")]
+        samples = (
+            _params_from_arrays({k.split("/", 1)[1]: z[k] for k in sample_keys})
+            if sample_keys
+            else None
+        )
+        return params, z["key"], meta["outer_done"], samples
+
+
+def _concat_samples(a: Optional[GPSLCParams], b: GPSLCParams) -> GPSLCParams:
+    if a is None:
+        return b
+    return jax.tree.map(lambda x, y: np.concatenate([np.asarray(x), np.asarray(y)], axis=1), a, b)
+
+
+def run_mcmc_checkpointed(
+    key: jax.Array,
+    spec: ModelSpec,
+    priors: dict,
+    data: ModelData,
+    hp: HyperParameters,
+    checkpoint_path: str,
+    checkpoint_every: int = 8,
+):
+    """Chunked chain-batched MCMC with periodic state snapshots.
+
+    If ``checkpoint_path`` exists, resumes from it (same spec/budgets assumed)
+    and runs only the remaining outer iterations. Returns ``(samples, None,
+    final_params)`` shaped like :func:`run_mcmc` (samples lead with
+    ``(n_chains, n_outer)``).
+    """
+    from functools import partial
+
+    outer_step = make_outer_step(spec, priors, hp)
+    dtype = data.y.dtype
+
+    priors_items = tuple(sorted((k, float(v)) for k, v in priors.items()))
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def run_chunk(params, chunk_key, n_steps):
+        def body(p, k):
+            p, stats = outer_step(p, data, k)
+            return p, p
+
+        return jax.lax.scan(body, params, jax.random.split(chunk_key, n_steps))
+
+    run_chunk_chains = jax.jit(
+        jax.vmap(run_chunk, in_axes=(0, 0, None)), static_argnames=("n_steps",)
+    )
+
+    if os.path.exists(checkpoint_path):
+        params, key_arr, outer_done, samples = load_chain_state(checkpoint_path)
+        params = jax.tree.map(lambda a: jax.numpy.asarray(a, dtype=dtype), params)
+        key = jax.numpy.asarray(key_arr)
+    else:
+        chain_keys = jax.random.split(jax.random.fold_in(key, 0), hp.n_chains)
+        params = jax.vmap(lambda k: init_from_prior(k, spec, priors, data, dtype=dtype))(
+            chain_keys
+        )
+        outer_done, samples = 0, None
+
+    while outer_done < hp.n_outer:
+        n_steps = min(checkpoint_every, hp.n_outer - outer_done)
+        key, sub = jax.random.split(key)
+        chunk_keys = jax.random.split(sub, hp.n_chains)
+        params, chunk_samples = run_chunk_chains(params, chunk_keys, n_steps)
+        samples = _concat_samples(samples, jax.tree.map(np.asarray, chunk_samples))
+        outer_done += n_steps
+        save_chain_state(checkpoint_path, params, key, outer_done, samples)
+
+    return samples, None, params
