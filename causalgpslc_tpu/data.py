@@ -55,13 +55,23 @@ def prepare_data(
     *,
     binary_treatment: Optional[bool] = None,
     verbose: bool = False,
+    engine: str = "auto",
 ) -> PreparedData:
     """Sort by ``obj``, build SigmaU from group sizes, split T/Y/X columns.
 
     Mirrors ``prepareData`` (``src/data.jl:20-69``): object labels become a
     block-ones covariance via group counts; with no ``obj`` column the model
     falls back to the no-latent-confounder variants.
+
+    ``engine``: "auto" uses the native C++ parser for CSV paths when built
+    (falling back to pandas), "native" requires it, "pandas" skips it.
     """
+    if isinstance(data, str) and engine in ("auto", "native"):
+        out = _prepare_native(data, confounder_eps, confounder_cov, binary_treatment, verbose)
+        if out is not None:
+            return out
+        if engine == "native":
+            raise RuntimeError("native CSV engine requested but unavailable")
     df = load_data(data) if isinstance(data, str) else data.copy()
 
     if "obj" in df.columns:
@@ -94,4 +104,48 @@ def prepare_data(
             print("No observed covariates found in data")
         x = None
 
+    return PreparedData(sigma_u=sigma_u, obj=obj, x=x, t=t, y=y, binary_t=binary_t)
+
+
+def _prepare_native(
+    path: str,
+    confounder_eps: float,
+    confounder_cov: float,
+    binary_treatment: Optional[bool],
+    verbose: bool,
+) -> Optional[PreparedData]:
+    """CSV -> PreparedData through the C++ fast parser (pandas-free path)."""
+    from . import native
+
+    nc = native.read_csv(path)
+    if nc is None:
+        return None
+
+    if "obj" in nc.columns:
+        labels = nc.decode("obj") if "obj" in nc.categorical else nc.column("obj")
+        order = np.argsort(labels, kind="stable")
+        labels = labels[order]
+        counts = object_counts(labels.tolist())
+        sigma_u = native.sigma_u_native(counts, confounder_eps, confounder_cov)
+        if sigma_u is None:
+            sigma_u = generate_sigma_u(counts, confounder_eps, confounder_cov)
+        obj = labels
+    else:
+        if verbose:
+            print("No object labels found (column `obj`); assuming no latent confounding")
+        order = np.arange(nc.data.shape[0])
+        sigma_u = None
+        obj = None
+
+    t = nc.column("T")[order]
+    y = nc.column("Y")[order]
+    if binary_treatment is not None:
+        binary_t = binary_treatment
+    else:
+        binary_t = "T" in nc.boolean or set(np.unique(t).tolist()) <= {0.0, 1.0}
+
+    x_cols = [c for c in nc.columns if c not in ("T", "Y", "obj")]
+    x = np.stack([nc.column(c)[order] for c in x_cols], axis=1) if x_cols else None
+    if x is None and verbose:
+        print("No observed covariates found in data")
     return PreparedData(sigma_u=sigma_u, obj=obj, x=x, t=t, y=y, binary_t=binary_t)
