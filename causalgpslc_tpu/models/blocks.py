@@ -30,6 +30,7 @@ from .spec import GPSLCParams, ModelData, ModelSpec
 
 __all__ = [
     "FIELD_PRIOR_NAMES",
+    "build_cov",
     "field_block",
     "u_cov",
     "x_cov_k",
@@ -92,6 +93,36 @@ def field_block(field: str) -> str:
 # Covariance builders
 # ---------------------------------------------------------------------------
 
+_PALLAS_MIN_N = 512
+
+
+def _use_fused_kernel(n: int, dtype) -> bool:
+    """Route large float32 TPU covariance builds through the fused Pallas
+    kernel (no HBM intermediate); small problems and float64/CPU use the
+    XLA path. Override with CAUSALGPSLC_PALLAS=on/off."""
+    import os
+
+    mode = os.environ.get("CAUSALGPSLC_PALLAS", "auto")
+    if mode == "off":
+        return False
+    if dtype == jnp.float64:
+        return False  # TPU Pallas has no f64
+    if mode == "on":
+        return True
+    return n >= _PALLAS_MIN_N and jax.default_backend() not in ("cpu",)
+
+
+def build_cov(features: jax.Array, scale, noise) -> jax.Array:
+    """``exp(-cdist^2(features)) * scale + noise I`` with automatic kernel
+    selection (fused Pallas on TPU at scale, XLA elsewhere)."""
+    n = features.shape[0]
+    if _use_fused_kernel(n, features.dtype):
+        from ..ops.pallas import fused_rbf_cov
+
+        return fused_rbf_cov(features, jnp.asarray(scale), jnp.asarray(noise))
+    log_cov = rbf_kernel_log(features, features, jnp.ones((), dtype=features.dtype))
+    return process_cov(log_cov, scale, noise)
+
 
 def u_cov(data: ModelData, params: GPSLCParams) -> jax.Array:
     """Prior covariance over each U column: ``SigmaU * uNoise``
@@ -114,11 +145,28 @@ def x_cov_all(data: ModelData, params: GPSLCParams) -> jax.Array:
     return covs
 
 
+def t_features(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    """Lengthscale-scaled feature matrix whose pairwise sq-distances give the
+    treatment GP's additive log-kernel.
+
+    Additive log-RBF kernels (``generateRealTfromUX`` family,
+    ``src/model_likelihood.jl:25-80``) satisfy
+    ``sum_b -|u_i/ls - u_j/ls|^2 = -|z_i - z_j|^2`` for the concatenated
+    scaled features ``z = [U/utLS, X/xtLS]`` — one (n, d) matrix and one
+    pairwise computation (a single MXU matmul at large n) instead of one
+    broadcast pass per block.
+    """
+    parts = []
+    if spec.has_u:
+        parts.append(params.u / params.ut_ls)
+    if spec.has_x:
+        parts.append(data.x / params.xt_ls)
+    return jnp.concatenate(parts, axis=1)
+
+
 def t_cov(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
     """Covariance of T (continuous) or logitT (binary) given U and/or X.
 
-    Additive log-kernels over (U, X) then scale+noise, per
-    ``generateRealTfromUX`` and friends (``src/model_likelihood.jl:25-80``).
     For the no-U-no-X variants the prior is the identity
     (``generateRealTfromPrior``/``generateBinaryTfromPrior``,
     ``src/model_prior.jl:175-200``).
@@ -126,27 +174,28 @@ def t_cov(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
     dtype = data.t.dtype
     if not spec.has_u and not spec.has_x:
         return jnp.eye(spec.n, dtype=dtype)
-    log_cov = jnp.zeros((spec.n, spec.n), dtype=dtype)
+    f = t_features(spec, data, params)
+    return build_cov(f, params.t_scale, params.t_noise)
+
+
+def y_features(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
+    """Scaled features for the outcome GP's additive kernel over (U, X, T)
+    (``generateYfromUXT`` family, ``src/model_likelihood.jl:83-120``)."""
+    parts = [data.t[:, None] / params.ty_ls]
     if spec.has_u:
-        log_cov = log_cov + rbf_kernel_log(params.u, params.u, params.ut_ls)
+        parts.append(params.u / params.uy_ls)
     if spec.has_x:
-        log_cov = log_cov + rbf_kernel_log(data.x, data.x, params.xt_ls)
-    return process_cov(log_cov, params.t_scale, params.t_noise)
+        parts.append(data.x / params.xy_ls)
+    return jnp.concatenate(parts, axis=1)
 
 
 def y_kernel_log(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
-    """Additive log-kernel of the outcome GP over (U, X, T)
-    (``generateYfromUXT`` family, ``src/model_likelihood.jl:83-120``)."""
-    log_cov = rbf_kernel_log(data.t, data.t, params.ty_ls)
-    if spec.has_u:
-        log_cov = log_cov + rbf_kernel_log(params.u, params.u, params.uy_ls)
-    if spec.has_x:
-        log_cov = log_cov + rbf_kernel_log(data.x, data.x, params.xy_ls)
-    return log_cov
+    f = y_features(spec, data, params)
+    return rbf_kernel_log(f, f, jnp.ones((), dtype=data.t.dtype))
 
 
 def y_cov(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> jax.Array:
-    return process_cov(y_kernel_log(spec, data, params), params.y_scale, params.y_noise)
+    return build_cov(y_features(spec, data, params), params.y_scale, params.y_noise)
 
 
 # ---------------------------------------------------------------------------
