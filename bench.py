@@ -19,15 +19,16 @@ ratio and ``vs_baseline`` reduces to a draws/s ratio at matched
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import time
 
 import numpy as np
 
 ROOT = pathlib.Path(__file__).parent
-N = 500
-N_CHAINS = 16
-N_OUTER = 10
+N = int(os.environ.get("BENCH_N", 500))
+N_CHAINS = int(os.environ.get("BENCH_CHAINS", 64))
+N_OUTER = int(os.environ.get("BENCH_OUTER", 10))
 
 
 def make_synthetic(n: int, rng: np.random.Generator):
@@ -40,6 +41,11 @@ def make_synthetic(n: int, rng: np.random.Generator):
 
 def main():
     import jax
+
+    # persistent compile cache: the axon remote-compile path takes ~20 min for
+    # the full MCMC program; cache hits bring reruns down to seconds.
+    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     import causalgpslc_tpu as cg

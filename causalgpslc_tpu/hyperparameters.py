@@ -45,6 +45,19 @@ class HyperParameters:
     prediction_covariance_noise: float = 1e-10
     n_chains: int = 1
 
+    def __post_init__(self):
+        if self.n_outer < 1:
+            raise ValueError(f"n_outer must be >= 1, got {self.n_outer}")
+        if self.n_burn_in > self.n_outer:
+            raise ValueError(
+                f"n_burn_in ({self.n_burn_in}) > n_outer ({self.n_outer}): "
+                "no posterior samples would be retained"
+            )
+        if self.step_size < 1:
+            raise ValueError(f"step_size must be >= 1, got {self.step_size}")
+        if self.n_chains < 1:
+            raise ValueError(f"n_chains must be >= 1, got {self.n_chains}")
+
     def replace(self, **kw) -> "HyperParameters":
         return dataclasses.replace(self, **kw)
 

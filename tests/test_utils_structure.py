@@ -50,3 +50,14 @@ def test_num_posterior_samples():
     assert hp.retained_indices()[-1] == 23
     hp2 = hp.replace(n_burn_in=5, step_size=2, n_outer=25)
     assert hp2.n_posterior_samples == len(range(5, 26, 2))
+
+
+def test_hyperparameter_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="no posterior samples"):
+        default_hyperparameters(n_outer=3, n_burn_in=10)
+    with pytest.raises(ValueError, match="step_size"):
+        default_hyperparameters(step_size=0)
+    with pytest.raises(ValueError, match="n_chains"):
+        default_hyperparameters(n_chains=0)
