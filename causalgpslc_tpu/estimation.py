@@ -68,17 +68,20 @@ def conditional_ite(
         CovITE  = C11 - C12 - C21 + C22
     """
     dtype = data.y.dtype
-    do_vec = jnp.full((spec.n,), do_t, dtype=dtype)
+    # Intervention may be scalar (set everyone) or per-individual vector,
+    # matching the reference's Intervention union (src/types.jl:137-143).
+    do_vec = jnp.broadcast_to(jnp.asarray(do_t, dtype=dtype), (spec.n,))
 
     base_log = _y_kernel_log_parts(spec, data, params)
     ty_log = rbf_kernel_log(data.t, data.t, params.ty_ls)
     ty_log_s = rbf_kernel_log(data.t, do_vec, params.ty_ls)
-    # K(W*, W*)'s treatment part is identically zero in log space.
+    # zero for a scalar intervention; nonzero for per-individual doT vectors
+    ty_log_ss = rbf_kernel_log(do_vec, do_vec, params.ty_ls)
 
     y_scale = params.y_scale
     cov_ww = process_cov(base_log + ty_log, y_scale)
     cov_wws = process_cov(base_log + ty_log_s, y_scale)
-    cov_wsws = process_cov(base_log, y_scale)
+    cov_wsws = process_cov(base_log + ty_log_ss, y_scale)
     cov_wwp_chol = safe_cholesky(add_jitter(cov_ww, params.y_noise))
 
     a1 = chol_solve(cov_wwp_chol, cov_ww)  # (CovWWp \ CovWW)

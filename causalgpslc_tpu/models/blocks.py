@@ -97,19 +97,17 @@ _PALLAS_MIN_N = 512
 
 
 def _use_fused_kernel(n: int, dtype) -> bool:
-    """Route large float32 TPU covariance builds through the fused Pallas
-    kernel (no HBM intermediate); small problems and float64/CPU use the
-    XLA path. Override with CAUSALGPSLC_PALLAS=on/off."""
+    """Route float32 covariance builds through the fused Pallas kernel when
+    CAUSALGPSLC_PALLAS=on. Currently opt-in: profiled on v5e at n=500-5000 the
+    XLA dot-path build (10 ms at n=5000) beats the first-cut fused kernel
+    (16 ms) — the feature-dim padding to the 128-lane width wastes MXU work at
+    the tiny ARD dims GPSLC uses. Kept for large-N tuning work."""
     import os
 
     mode = os.environ.get("CAUSALGPSLC_PALLAS", "auto")
-    if mode == "off":
-        return False
     if dtype == jnp.float64:
         return False  # TPU Pallas has no f64
-    if mode == "on":
-        return True
-    return n >= _PALLAS_MIN_N and jax.default_backend() not in ("cpu",)
+    return mode == "on"
 
 
 def build_cov(features: jax.Array, scale, noise) -> jax.Array:

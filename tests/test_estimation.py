@@ -110,3 +110,24 @@ def test_cross_covariance_not_symmetric_in_general():
     # ITE covariance is symmetric by construction after symmetrize
     means, covs = estimation.ite_distributions(spec, data, _stack_params(params, 1), 2.5, PRED_NOISE)
     np.testing.assert_allclose(covs[0], np.asarray(covs[0]).T, atol=1e-12)
+
+
+def test_vector_intervention():
+    """Per-individual doT vectors are supported (Intervention union,
+    src/types.jl:137-143); doT == T elementwise still gives exactly 0."""
+    rng = np.random.default_rng(7)
+    n = 5
+    spec = ModelSpec(n=n, n_u=None, n_x=None, binary_t=False)
+    t = jnp.asarray(rng.normal(size=n))
+    data = ModelData(t=t, y=jnp.asarray(rng.normal(size=n)))
+    params = GPSLCParams(
+        ty_ls=jnp.asarray(1.0), y_noise=jnp.asarray(0.3), y_scale=jnp.asarray(1.0)
+    )
+    mean, cov = estimation.conditional_ite(spec, data, params, t)
+    np.testing.assert_allclose(mean, 0.0, atol=1e-10)
+    np.testing.assert_allclose(cov, 0.0, atol=1e-10)
+    # heterogeneous intervention differs from any scalar one
+    do_vec = jnp.asarray(rng.normal(size=n))
+    mean_v, _ = estimation.conditional_ite(spec, data, params, do_vec)
+    mean_s, _ = estimation.conditional_ite(spec, data, params, float(do_vec[0]))
+    assert not np.allclose(np.asarray(mean_v), np.asarray(mean_s))
