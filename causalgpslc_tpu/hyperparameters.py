@@ -44,6 +44,11 @@ class HyperParameters:
     step_size: int = 1
     prediction_covariance_noise: float = 1e-10
     n_chains: int = 1
+    # Adaptive per-site MH proposal variances (new capability; the reference
+    # fixes drift=0.5). Robbins-Monro toward target_accept during burn-in,
+    # frozen after, so retained samples come from a fixed Markov kernel.
+    adapt_proposals: bool = False
+    target_accept: float = 0.44
 
     def __post_init__(self):
         if self.n_outer < 1:

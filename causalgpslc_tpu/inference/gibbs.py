@@ -53,6 +53,7 @@ class StepStats(NamedTuple):
     mh_accept_rate: jax.Array
     ess_iters: jax.Array
     log_joint_blocks: jax.Array  # sum of block log-liks at end of iteration
+    move_accepts: jax.Array  # per-move acceptance fraction over the inner sweeps
 
 
 def _has_mh_inner_loop(spec: ModelSpec) -> bool:
@@ -69,7 +70,7 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
     n_mh_inner = hp.n_mh_inner if (_has_mh_inner_loop(spec) and hp.n_mh_inner) else 1
     n_es_inner = hp.n_es_inner if hp.n_es_inner else 0
 
-    def outer_step(params: GPSLCParams, data: ModelData, key: jax.Array):
+    def outer_step(params: GPSLCParams, data: ModelData, key: jax.Array, drifts=None):
         dtype = data.y.dtype
         k_mh, k_ess = jax.random.split(key)
 
@@ -78,13 +79,16 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
 
         def mh_body(i, carry):
             params, lps, acc = carry
-            params, lps, a = mh_sweep(jax.random.fold_in(k_mh, i), spec, priors, data, params, lps)
+            params, lps, a = mh_sweep(
+                jax.random.fold_in(k_mh, i), spec, priors, data, params, lps, drifts
+            )
             return params, lps, acc + a
 
         params, lps, n_acc = jax.lax.fori_loop(
-            0, n_mh_inner, mh_body, (params, lps, jnp.zeros((), dtype=dtype))
+            0, n_mh_inner, mh_body, (params, lps, jnp.zeros((n_moves,), dtype=dtype))
         )
-        accept_rate = n_acc / (n_moves * n_mh_inner)
+        move_accepts = n_acc / n_mh_inner
+        accept_rate = jnp.mean(move_accepts)
 
         # ---- Algorithm 3: elliptical slice over U columns / logitT -------
         ess_iters = jnp.zeros((), dtype=jnp.int32)
@@ -170,6 +174,7 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
             mh_accept_rate=accept_rate,
             ess_iters=ess_iters,
             log_joint_blocks=lps_total,
+            move_accepts=move_accepts,
         )
         return params, stats
 
@@ -194,6 +199,7 @@ def run_mcmc(
     """
     outer_step = make_outer_step(spec, priors, hp)
     dtype = data.y.dtype
+    n_moves = len(sweep_moves(spec))
 
     def one_chain(chain_key):
         k_init, k_run = jax.random.split(chain_key)
@@ -202,12 +208,28 @@ def run_mcmc(
             if init_params is not None
             else init_from_prior(k_init, spec, priors, data, dtype=dtype)
         )
+        drifts0 = jnp.full((n_moves,), priors["drift"], dtype=dtype)
 
-        def body(params, step_key):
-            params, stats = outer_step(params, data, step_key)
-            return params, (params, stats)
+        def body(carry, step_key):
+            params, drifts, it = carry
+            params, stats = outer_step(
+                params, data, step_key, drifts if hp.adapt_proposals else None
+            )
+            if hp.adapt_proposals:
+                # Robbins-Monro on log proposal variance toward the target
+                # acceptance rate, frozen after burn-in (diminishing/frozen
+                # adaptation keeps the post-burn-in kernel exactly Markov).
+                gamma = 0.5 / (1.0 + it) ** 0.6
+                adapted = jnp.exp(
+                    jnp.log(drifts) + gamma * (stats.move_accepts - hp.target_accept)
+                )
+                adapted = jnp.clip(adapted, 1e-4, 1e3)
+                drifts = jnp.where(it < hp.n_burn_in, adapted, drifts)
+            return (params, drifts, it + 1), (params, stats)
 
-        final, (samples, stats) = jax.lax.scan(body, params0, jax.random.split(k_run, hp.n_outer))
+        (final, _, _), (samples, stats) = jax.lax.scan(
+            body, (params0, drifts0, jnp.zeros((), dtype=dtype)), jax.random.split(k_run, hp.n_outer)
+        )
         return samples, stats, final
 
     chain_keys = jax.random.split(key, hp.n_chains)

@@ -101,9 +101,15 @@ def mh_move(
     lps: BlockLps,
     field: str,
     idx: Optional[tuple],
+    drift=None,
 ):
-    """One single-site MH move; returns (params, lps, accepted)."""
-    drift = priors["drift"]
+    """One single-site MH move; returns (params, lps, accepted).
+
+    ``drift``: proposal variance for this move; defaults to the global
+    ``priors["drift"]`` (reference behavior, ``src/proposal.jl``).
+    """
+    if drift is None:
+        drift = priors["drift"]
     stem = FIELD_PRIOR_NAMES[field]
     prior_shape, prior_scale = priors[stem + "Shape"], priors[stem + "Scale"]
 
@@ -146,17 +152,22 @@ def mh_sweep(
     data: ModelData,
     params: GPSLCParams,
     lps: BlockLps,
+    drifts=None,
 ):
     """One full MH sweep over every hyperparameter site (reference order).
 
-    Returns (params, lps, n_accepted). The move list is static per spec, so
-    XLA sees a fixed unrolled sequence of block evaluations.
+    Returns (params, lps, accepts) with ``accepts`` a per-move 0/1 vector.
+    ``drifts`` optionally overrides the global proposal variance per move
+    (an (n_moves,) vector — the adaptive-proposal path); ``None`` uses the
+    reference's fixed ``priors["drift"]``. The move list is static per spec,
+    so XLA sees a fixed unrolled sequence of block evaluations.
     """
     moves = sweep_moves(spec)
-    n_acc = jnp.zeros((), dtype=data.y.dtype)
+    accepts = []
     for i, (field, idx) in enumerate(moves):
+        drift = None if drifts is None else drifts[i]
         params, lps, acc = mh_move(
-            jax.random.fold_in(key, i), spec, priors, data, params, lps, field, idx
+            jax.random.fold_in(key, i), spec, priors, data, params, lps, field, idx, drift
         )
-        n_acc = n_acc + acc
-    return params, lps, n_acc
+        accepts.append(acc)
+    return params, lps, jnp.stack(accepts).astype(data.y.dtype)

@@ -150,3 +150,28 @@ def test_invgamma_mh_preserves_invgamma_target():
     # InvGamma(4, 4): mean = 4/3, var = 16/(9*2) = 8/9
     assert draws.mean() == pytest.approx(4.0 / 3.0, rel=0.05)
     assert draws.var() == pytest.approx(8.0 / 9.0, rel=0.25)
+
+
+def test_adaptive_proposals_reach_target_acceptance():
+    """With adaptation on, per-site acceptance converges toward target_accept
+    during burn-in and drifts freeze afterwards (kernel stays Markov)."""
+    spec, data = make_case(True, False, False)
+    pp = cg.default_prior_parameters()
+    hp = cg.default_hyperparameters(
+        n_chains=4, n_u=spec.n_u, n_outer=30, n_mh_inner=4, n_es_inner=1,
+        n_burn_in=20, adapt_proposals=True, target_accept=0.44,
+    )
+    _, stats, _ = run_mcmc_jit(jax.random.PRNGKey(5), spec, pp, data, hp)
+    accepts = np.asarray(stats.move_accepts)  # (chains, outer, moves)
+    late = accepts[:, hp.n_burn_in - 5 : hp.n_burn_in].mean()
+    assert abs(late - 0.44) < 0.2, f"late-burn-in acceptance {late:.2f} far from target"
+
+    # adaptation should not corrupt the posterior: compare a cheap moment
+    hp_ref = hp.replace(adapt_proposals=False)
+    s_adapt, _, _ = run_mcmc_jit(jax.random.PRNGKey(6), spec, pp, data, hp)
+    s_ref, _, _ = run_mcmc_jit(jax.random.PRNGKey(6), spec, pp, data, hp_ref)
+    idx = np.asarray(hp.retained_indices())
+    m_adapt = np.asarray(s_adapt.ty_ls)[:, idx].mean()
+    m_ref = np.asarray(s_ref.ty_ls)[:, idx].mean()
+    sd = np.asarray(s_ref.ty_ls)[:, idx].std()
+    assert abs(m_adapt - m_ref) < 3 * sd
