@@ -63,3 +63,23 @@ def test_sharded_rejects_bad_chain_count(tiny_setup):
         run_mcmc_sharded(
             jax.random.PRNGKey(0), spec, pp, data, hp.replace(n_chains=3), mesh
         )
+
+
+def test_sharded_dot_grid_matches_serial(tiny_setup):
+    """predict_counterfactual_effects over a sharded doT grid equals serial."""
+    import causalgpslc_tpu as cg
+
+    spec, pp, data, hp = tiny_setup
+    hp1 = hp.replace(n_chains=1)
+    import pathlib
+
+    g = cg.gpslc(
+        str(pathlib.Path(__file__).parent / "data" / "no_cov.csv"),
+        hyperparams=hp1,
+    )
+    ite_serial, dts = cg.predict_counterfactual_effects(g, 2, fidelity=9, seed=3)
+    ite_sharded, dts2 = cg.predict_counterfactual_effects(
+        g, 2, fidelity=9, seed=3, mesh=chain_mesh()
+    )
+    np.testing.assert_allclose(dts, dts2)
+    np.testing.assert_allclose(ite_serial, ite_sharded, rtol=1e-10)
