@@ -111,11 +111,13 @@ def gpslc(
     priorparams: Optional[dict] = None,
     seed: int = 0,
     dtype=None,
+    verbose: bool = False,
 ) -> GPSLCObject:
     """Run posterior inference on a dataset (CSV path / DataFrame / prepared).
 
     Column conventions follow ``src/driver.jl:27-33``: ``T``, ``Y``, optional
-    ``obj``, everything else covariates.
+    ``obj``, everything else covariates. ``verbose`` runs in chunks with
+    host-side progress lines (the reference's tqdm analog).
     """
     hp = hyperparams or default_hyperparameters()
     pp = dict(default_prior_parameters())
@@ -131,7 +133,19 @@ def gpslc(
     spec, model_data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)
     hp = _spec_hp_consistent(spec, hp)
 
-    samples, stats, _final = sample_posterior(spec, pp, model_data, hp, seed=seed)
+    if verbose:
+        from .parallel.checkpoint import run_mcmc_checkpointed
+
+        samples, stats, _final = run_mcmc_checkpointed(
+            jax.random.PRNGKey(seed),
+            spec,
+            pp,
+            model_data,
+            hp,
+            progress_callback=lambda done, total: print(f"[gpslc] outer {done}/{total}"),
+        )
+    else:
+        samples, stats, _final = sample_posterior(spec, pp, model_data, hp, seed=seed)
     return GPSLCObject(
         hyperparams=hp,
         priorparams=pp,

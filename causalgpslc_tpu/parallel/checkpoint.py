@@ -87,18 +87,27 @@ def run_mcmc_checkpointed(
     priors: dict,
     data: ModelData,
     hp: HyperParameters,
-    checkpoint_path: str,
+    checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 8,
+    progress_callback=None,
 ):
     """Chunked chain-batched MCMC with periodic state snapshots.
 
     If ``checkpoint_path`` exists, resumes from it (same spec/budgets assumed)
-    and runs only the remaining outer iterations. Returns ``(samples, None,
-    final_params)`` shaped like :func:`run_mcmc` (samples lead with
-    ``(n_chains, n_outer)``).
+    and runs only the remaining outer iterations; ``None`` disables snapshots
+    (chunked execution only — the host regains control between chunks, which
+    is also the progress-reporting hook, the analog of the reference's tqdm
+    bar at ``src/inference.jl:21``). ``progress_callback(outer_done, n_outer)``
+    fires after every chunk. Returns ``(samples, None, final_params)`` shaped
+    like :func:`run_mcmc` (samples lead with ``(n_chains, n_outer)``).
     """
     from functools import partial
 
+    if hp.adapt_proposals:
+        raise NotImplementedError(
+            "adaptive proposals are not yet supported in chunked/checkpointed "
+            "runs; use run_mcmc / run_mcmc_jit"
+        )
     outer_step = make_outer_step(spec, priors, hp)
     dtype = data.y.dtype
 
@@ -116,7 +125,7 @@ def run_mcmc_checkpointed(
         jax.vmap(run_chunk, in_axes=(0, 0, None)), static_argnames=("n_steps",)
     )
 
-    if os.path.exists(checkpoint_path):
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
         params, key_arr, outer_done, samples = load_chain_state(checkpoint_path)
         params = jax.tree.map(lambda a: jax.numpy.asarray(a, dtype=dtype), params)
         key = jax.numpy.asarray(key_arr)
@@ -134,6 +143,9 @@ def run_mcmc_checkpointed(
         params, chunk_samples = run_chunk_chains(params, chunk_keys, n_steps)
         samples = _concat_samples(samples, jax.tree.map(np.asarray, chunk_samples))
         outer_done += n_steps
-        save_chain_state(checkpoint_path, params, key, outer_done, samples)
+        if checkpoint_path is not None:
+            save_chain_state(checkpoint_path, params, key, outer_done, samples)
+        if progress_callback is not None:
+            progress_callback(outer_done, hp.n_outer)
 
     return samples, None, params

@@ -86,3 +86,41 @@ def test_from_arrays_entry():
     # SigmaU built from group counts (not raw labels)
     assert g.prepared.sigma_u.shape == (n, n)
     assert g.prepared.sigma_u[0, 3] == 1.0 and g.prepared.sigma_u[0, 4] == 0.0
+
+
+@pytest.mark.slow
+def test_ihdp_binary_golden_regression(data_dir):
+    """IHDP (n=272, nX=6, binary T) against the reference's golden CIs.
+
+    Golden files IHDP_sampled_{true,false}.csv hold the reference's
+    summarized ITE intervals at doT in {true, false}.
+    """
+    hp = cg.default_hyperparameters(
+        n_outer=25, n_u=1, n_mh_inner=3, n_es_inner=5, n_burn_in=10
+    )
+    g = cg.gpslc(str(data_dir / "IHDP_sampled.csv"), hyperparams=hp, seed=7)
+    assert g.spec.name == "CausalGPSLCBinaryT"
+    for do_t, fname in [(1.0, "IHDP_sampled_true.csv"), (0.0, "IHDP_sampled_false.csv")]:
+        ite = cg.sample_ite(g, do_t, samples_per_posterior=10)
+        df = cg.summarize_estimates(ite)
+        golden = pd.read_csv(data_dir / "golden" / fname)
+        frac = count_close_enough(df.Mean, golden)
+        assert frac >= 0.5, f"doT={do_t}: only {frac:.0%} inside golden CIs"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "dataset", ["additive_linear", "additive_nonlinear", "multiplicative_linear", "multiplicative_nonlinear"]
+)
+def test_synthetic_golden_regressions(dataset, data_dir):
+    """Synthetic benchmark datasets (n=200, continuous T) vs golden CIs at doT in {0, 1}."""
+    hp = cg.default_hyperparameters(
+        n_outer=25, n_u=2, n_mh_inner=3, n_es_inner=5, n_burn_in=10
+    )
+    g = cg.gpslc(str(data_dir / f"{dataset}.csv"), hyperparams=hp, seed=11)
+    for do_t in (0.0, 1.0):
+        ite = cg.sample_ite(g, do_t, samples_per_posterior=10)
+        df = cg.summarize_estimates(ite)
+        golden = pd.read_csv(data_dir / "golden" / f"{dataset}_{int(do_t)}.csv")
+        frac = count_close_enough(df.Mean, golden)
+        assert frac >= 0.5, f"{dataset} doT={do_t}: only {frac:.0%} inside golden CIs"
