@@ -49,6 +49,11 @@ class HyperParameters:
     # frozen after, so retained samples come from a fixed Markov kernel.
     adapt_proposals: bool = False
     target_accept: float = 0.44
+    # Joint per-GP-block MH proposals (one factorization per block instead of
+    # one per site) — the TPU fast path for op-latency-bound sweeps. Valid MH
+    # for the same posterior; default False preserves the reference's
+    # site-by-site sweep semantics.
+    mh_block_sweep: bool = False
 
     def __post_init__(self):
         if self.n_outer < 1:

@@ -42,7 +42,7 @@ from ..models.state import init_from_prior
 from ..ops.distributions import bernoulli_logit_logpdf
 from ..ops.linalg import mvn_logpdf_chol, safe_cholesky
 from .ess import ess_update
-from .mh import mh_sweep, sweep_moves
+from .mh import block_sites, mh_blocked_sweep, mh_sweep, sweep_moves
 
 __all__ = ["StepStats", "make_outer_step", "run_mcmc"]
 
@@ -66,7 +66,9 @@ def _uses_logit_ess(spec: ModelSpec) -> bool:
 
 def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
     """Build the jittable single-chain outer step ``(params, data, key) -> (params, stats)``."""
-    n_moves = len(sweep_moves(spec))
+    use_blocked = hp.mh_block_sweep
+    sweep_fn = mh_blocked_sweep if use_blocked else mh_sweep
+    n_moves = len(block_sites(spec)) if use_blocked else len(sweep_moves(spec))
     n_mh_inner = hp.n_mh_inner if (_has_mh_inner_loop(spec) and hp.n_mh_inner) else 1
     n_es_inner = hp.n_es_inner if hp.n_es_inner else 0
 
@@ -79,7 +81,7 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
 
         def mh_body(i, carry):
             params, lps, acc = carry
-            params, lps, a = mh_sweep(
+            params, lps, a = sweep_fn(
                 jax.random.fold_in(k_mh, i), spec, priors, data, params, lps, drifts
             )
             return params, lps, acc + a
@@ -199,7 +201,7 @@ def run_mcmc(
     """
     outer_step = make_outer_step(spec, priors, hp)
     dtype = data.y.dtype
-    n_moves = len(sweep_moves(spec))
+    n_moves = len(block_sites(spec)) if hp.mh_block_sweep else len(sweep_moves(spec))
 
     def one_chain(chain_key):
         k_init, k_run = jax.random.split(chain_key)

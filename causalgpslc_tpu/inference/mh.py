@@ -171,3 +171,138 @@ def mh_sweep(
         )
         accepts.append(acc)
     return params, lps, jnp.stack(accepts).astype(data.y.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blocked sweep: joint per-block proposals (TPU fast path)
+# ---------------------------------------------------------------------------
+#
+# Profiling (BASELINE.md "Measured") shows batched Cholesky on TPU has a
+# ~4 ms latency floor per op, so the reference-shaped sweep — one factorization
+# per scalar site — is op-count bound. The blocked sweep proposes every site
+# of a GP block jointly (independent drift proposals per site) and
+# accepts/rejects the block with ONE fresh factorization:
+#
+#   u-block: {uNoise}                       -> 1 Cholesky
+#   t-block: {tNoise, tScale, utLS, xtLS}   -> 1 Cholesky
+#   y-block: {yNoise, yScale, tyLS, uyLS, xyLS} -> 1 Cholesky
+#   x-block: {xNoise[k], xScale[k], uxLS[k,:]} jointly per covariate k,
+#            all k batched                   -> 1 batched Cholesky
+#
+# Because each proposal is an independent product kernel and the acceptance
+# uses the exact joint density ratio, this is a valid MH kernel for the same
+# posterior — it trades per-site acceptance for a ~10x smaller op count.
+# Select with HyperParameters.mh_block_sweep=True.
+
+
+def block_sites(spec: ModelSpec) -> dict:
+    """Sites of each GP block present in this variant."""
+    fields = set(hyper_fields(spec))
+    blocks: dict[str, list[str]] = {"u": [], "t": [], "y": [], "x": []}
+    for f in ("u_noise",):
+        if f in fields:
+            blocks["u"].append(f)
+    for f in ("t_noise", "t_scale", "ut_ls", "xt_ls"):
+        if f in fields:
+            blocks["t"].append(f)
+    for f in ("y_noise", "y_scale", "ty_ls", "uy_ls", "xy_ls"):
+        if f in fields:
+            blocks["y"].append(f)
+    for f in ("x_noise", "x_scale", "ux_ls"):
+        if f in fields:
+            blocks["x"].append(f)
+    return {b: s for b, s in blocks.items() if s}
+
+
+def _joint_propose(key, spec, priors, params, sites, drift):
+    """Drift-propose every element of ``sites``; returns (new_params,
+    sum log q(new|cur) - log q(cur|new), sum prior delta)."""
+    q_delta = jnp.zeros((), dtype=jax.tree.leaves(params)[0].dtype)
+    prior_delta = jnp.zeros_like(q_delta)
+    new_params = params
+    for i, field in enumerate(sites):
+        stem = FIELD_PRIOR_NAMES[field]
+        cur = getattr(params, field)
+        prop = propose(jax.random.fold_in(key, i), cur, drift)
+        new_params = new_params._replace(**{field: prop})
+        q_delta = q_delta + jnp.sum(
+            proposal_logpdf(cur, prop, drift) - proposal_logpdf(prop, cur, drift)
+        )
+        prior_delta = prior_delta + jnp.sum(
+            inv_gamma_logpdf(prop, priors[stem + "Shape"], priors[stem + "Scale"])
+            - inv_gamma_logpdf(cur, priors[stem + "Shape"], priors[stem + "Scale"])
+        )
+    return new_params, q_delta, prior_delta
+
+
+def mh_blocked_sweep(
+    key: jax.Array,
+    spec: ModelSpec,
+    priors: dict,
+    data: ModelData,
+    params: GPSLCParams,
+    lps: BlockLps,
+    drifts=None,
+):
+    """One blocked sweep; returns (params, lps, per-block accepts).
+
+    ``drifts``: optional per-block proposal variances, ordered as
+    ``block_sites`` keys; ``None`` uses ``priors["drift"]``.
+    """
+    from ..models.blocks import logp_x
+
+    blocks = block_sites(spec)
+    dtype = data.y.dtype
+    accepts = []
+
+    for bi, (block, sites) in enumerate(blocks.items()):
+        bkey = jax.random.fold_in(key, bi)
+        drift = priors["drift"] if drifts is None else drifts[bi]
+
+        if block == "x":
+            # per-covariate joint moves, disjoint Markov blankets, batched
+            k_prop, k_acc = jax.random.split(bkey)
+            new_params, _, _ = _joint_propose(k_prop, spec, priors, params, sites, drift)
+            new_lp = logp_x(spec, data, new_params)  # (nX,), one batched op
+            # per-k deltas: priors and proposals decompose over k
+            def per_k_delta(field, cur, prop):
+                stem = FIELD_PRIOR_NAMES[field]
+                pr = inv_gamma_logpdf(prop, priors[stem + "Shape"], priors[stem + "Scale"]) - inv_gamma_logpdf(
+                    cur, priors[stem + "Shape"], priors[stem + "Scale"]
+                )
+                q = proposal_logpdf(cur, prop, drift) - proposal_logpdf(prop, cur, drift)
+                delta = pr + q
+                return delta.reshape(delta.shape[0], -1).sum(axis=-1) if delta.ndim > 1 else delta
+
+            delta_k = jnp.zeros((spec.n_x,), dtype=dtype)
+            for field in sites:
+                delta_k = delta_k + per_k_delta(field, getattr(params, field), getattr(new_params, field))
+            log_alpha = (new_lp - lps.x) + delta_k
+            accept = (
+                jnp.log(jax.random.uniform(k_acc, (spec.n_x,), dtype=dtype)) < log_alpha
+            ) & jnp.isfinite(new_lp)
+            out_params = params
+            for field in sites:
+                cur, prop = getattr(params, field), getattr(new_params, field)
+                mask = accept.reshape((spec.n_x,) + (1,) * (cur.ndim - 1))
+                out_params = out_params._replace(**{field: jnp.where(mask, prop, cur)})
+            params = out_params
+            lps = lps._replace(x=jnp.where(accept, new_lp, lps.x))
+            accepts.append(jnp.mean(accept.astype(dtype)))
+            continue
+
+        k_prop, k_acc = jax.random.split(bkey)
+        new_params, q_delta, prior_delta = _joint_propose(k_prop, spec, priors, params, sites, drift)
+        new_lp = _block_lp(spec, data, new_params, block, None)
+        cur_lp = getattr(lps, block)
+        log_alpha = (new_lp - cur_lp) + prior_delta + q_delta
+        accept = (jnp.log(jax.random.uniform(k_acc, dtype=dtype)) < log_alpha) & jnp.isfinite(new_lp)
+        out_params = params
+        for field in sites:
+            cur, prop = getattr(params, field), getattr(new_params, field)
+            out_params = out_params._replace(**{field: jnp.where(accept, prop, cur)})
+        params = out_params
+        lps = lps._replace(**{block: jnp.where(accept, new_lp, cur_lp)})
+        accepts.append(accept.astype(dtype))
+
+    return params, lps, jnp.stack(accepts)

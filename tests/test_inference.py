@@ -175,3 +175,35 @@ def test_adaptive_proposals_reach_target_acceptance():
     m_ref = np.asarray(s_ref.ty_ls)[:, idx].mean()
     sd = np.asarray(s_ref.ty_ls)[:, idx].std()
     assert abs(m_adapt - m_ref) < 3 * sd
+
+
+def test_blocked_sweep_no_stuck_sites():
+    """The blocked fast-path sweep still moves every site."""
+    spec, data = make_case(True, True, False)
+    pp = cg.default_prior_parameters()
+    hp = cg.default_hyperparameters(
+        n_chains=2, n_u=spec.n_u, n_outer=16, n_mh_inner=6, n_es_inner=2,
+        n_burn_in=1, mh_block_sweep=True,
+    )
+    samples, stats, _ = run_mcmc_jit(jax.random.PRNGKey(2), spec, pp, data, hp)
+    assert stuck_sites(samples) == []
+    rate = float(np.mean(np.asarray(stats.mh_accept_rate)))
+    assert 0.02 < rate < 0.95
+
+
+def test_blocked_sweep_posterior_consistent_with_reference_sweep():
+    """Blocked and site-by-site sweeps target the same posterior: compare
+    retained-sample moments on a long-ish run."""
+    spec, data = make_case(True, False, False, seed=3)
+    pp = cg.default_prior_parameters()
+    base = dict(n_chains=8, n_u=spec.n_u, n_outer=60, n_es_inner=2, n_burn_in=20)
+    hp_ref = cg.default_hyperparameters(n_mh_inner=3, **base)
+    hp_blk = cg.default_hyperparameters(n_mh_inner=9, mh_block_sweep=True, **base)
+    s_ref, _, _ = run_mcmc_jit(jax.random.PRNGKey(4), spec, pp, data, hp_ref)
+    s_blk, _, _ = run_mcmc_jit(jax.random.PRNGKey(5), spec, pp, data, hp_blk)
+    idx = np.asarray(hp_ref.retained_indices())
+    for field in ("ty_ls", "y_noise", "y_scale", "t_noise"):
+        a = np.log(np.asarray(getattr(s_ref, field))[:, idx]).ravel()
+        b = np.log(np.asarray(getattr(s_blk, field))[:, idx]).ravel()
+        se = np.sqrt(a.var() / 40 + b.var() / 40)  # ~independent draw proxy
+        assert abs(a.mean() - b.mean()) < 5 * se, (field, a.mean(), b.mean(), se)
