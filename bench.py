@@ -59,14 +59,16 @@ def main():
     rng = np.random.default_rng(0)
     prepared = cg.prepare_data(make_synthetic(N, rng))
     adapt = os.environ.get("BENCH_ADAPT", "0") == "1"
+    blocked = os.environ.get("BENCH_BLOCKED", "0") == "1"
     hp = cg.default_hyperparameters(
         n_u=1,
         n_outer=N_OUTER,
-        n_mh_inner=10,
+        n_mh_inner=int(os.environ.get("BENCH_MH_INNER", 10)),
         n_es_inner=5,
         n_burn_in=max(1, N_OUTER // 3) if adapt else 1,
         n_chains=N_CHAINS,
         adapt_proposals=adapt,
+        mh_block_sweep=blocked,
     )
     pp = cg.default_prior_parameters()
     spec, data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)
