@@ -21,6 +21,7 @@ from .api import (
     GPSLCObject,
     from_arrays,
     gpslc,
+    sample_counterfactual_outcomes,
     sample_ite,
     sample_posterior,
     sample_sate,

@@ -36,6 +36,7 @@ __all__ = [
     "GPSLCObject",
     "gpslc",
     "sample_posterior",
+    "sample_counterfactual_outcomes",
     "sample_ite",
     "sample_sate",
     "summarize_estimates",
@@ -262,3 +263,25 @@ def summarize_estimates(
         df.to_csv(savetofile, index=False)
         print(f"Saved mean and {credible_interval:.0%} credible intervals to {savetofile}")
     return df
+
+
+def sample_counterfactual_outcomes(
+    g: GPSLCObject,
+    do_t,
+    samples_per_posterior: int = 10,
+    seed: int = 1,
+) -> np.ndarray:
+    """Counterfactual outcome samples ``Y* | doT`` of shape
+    ``(n, S * samples_per_posterior)``.
+
+    New capability over the reference, whose NEEC example approximates
+    counterfactual outcomes as ``mean(Y) + ITE`` host-side
+    (``docs/example_data/NEEC_Example.jl``); this draws from the exact GP
+    posterior of the counterfactual process ``f* | Y``.
+    """
+    samples = g.retained_samples()
+    means, covs = estimation.counterfactual_outcome_distributions(
+        g.spec, g.data, samples, do_t, g.hyperparams.prediction_covariance_noise
+    )
+    key = jax.random.PRNGKey(seed)
+    return np.asarray(estimation.ite_samples(key, means, covs, samples_per_posterior))

@@ -33,6 +33,8 @@ from .ops.linalg import add_jitter, chol_solve, safe_cholesky, symmetrize
 
 __all__ = [
     "conditional_ite",
+    "conditional_counterfactual_outcome",
+    "counterfactual_outcome_distributions",
     "ite_distributions",
     "ite_samples",
     "conditional_sate",
@@ -131,6 +133,53 @@ def ite_samples(key: jax.Array, mean_ites: jax.Array, cov_ites: jax.Array, n_per
     z = jax.random.normal(key, (s, n_per_mixture, n), dtype=mean_ites.dtype)
     draws = mean_ites[:, None, :] + jnp.einsum("sij,smj->smi", chols, z)
     return draws.reshape(s * n_per_mixture, n).T
+
+
+def conditional_counterfactual_outcome(
+    spec: ModelSpec,
+    data: ModelData,
+    params: GPSLCParams,
+    do_t,
+):
+    """Posterior of the counterfactual outcome process ``f* | Y`` under
+    ``doT`` — the "directly predicting Y_cf" use of the conditioning blocks
+    that ``likelihoodDistribution``'s docstring names (``src/likelihood.jl:5``)
+    but the reference never exposes:
+
+        mean = K(W,W*)' (K(W,W) + yNoise I)^-1 Y,   cov = C22.
+    """
+    dtype = data.y.dtype
+    do_vec = jnp.broadcast_to(jnp.asarray(do_t, dtype=dtype), (spec.n,))
+
+    base_log = _y_kernel_log_parts(spec, data, params)
+    ty_log = rbf_kernel_log(data.t, data.t, params.ty_ls)
+    ty_log_s = rbf_kernel_log(data.t, do_vec, params.ty_ls)
+    ty_log_ss = rbf_kernel_log(do_vec, do_vec, params.ty_ls)
+
+    y_scale = params.y_scale
+    cov_ww = process_cov(base_log + ty_log, y_scale)
+    cov_wws = process_cov(base_log + ty_log_s, y_scale)
+    cov_wsws = process_cov(base_log + ty_log_ss, y_scale)
+    chol = safe_cholesky(add_jitter(cov_ww, params.y_noise))
+
+    mean_cf = cov_wws.T @ chol_solve(chol, data.y)
+    c22 = cov_wsws - cov_wws.T @ chol_solve(chol, cov_wws)
+    return mean_cf, c22
+
+
+def counterfactual_outcome_distributions(
+    spec: ModelSpec,
+    data: ModelData,
+    samples: GPSLCParams,
+    do_t,
+    prediction_covariance_noise: float = 1e-10,
+):
+    """Batched ``conditional_counterfactual_outcome`` over posterior samples."""
+    def one(p):
+        mean, cov = conditional_counterfactual_outcome(spec, data, p, do_t)
+        return mean, add_jitter(symmetrize(cov), prediction_covariance_noise)
+
+    return jax.vmap(one)(samples)
 
 
 def conditional_sate(mean_ite: jax.Array, cov_ite: jax.Array):

@@ -131,3 +131,35 @@ def test_vector_intervention():
     mean_v, _ = estimation.conditional_ite(spec, data, params, do_vec)
     mean_s, _ = estimation.conditional_ite(spec, data, params, float(do_vec[0]))
     assert not np.allclose(np.asarray(mean_v), np.asarray(mean_s))
+
+
+def test_counterfactual_outcome_identity():
+    """With doT == T the counterfactual outcome posterior equals the factual
+    GP posterior mean of f | Y (noise-shrunk toward Y), and ITE mean is its
+    difference from the factual prediction — consistency check."""
+    rng = np.random.default_rng(9)
+    n = 6
+    spec = ModelSpec(n=n, n_u=None, n_x=None, binary_t=False)
+    t = jnp.asarray(rng.normal(size=n))
+    y = jnp.asarray(rng.normal(size=n))
+    data = ModelData(t=t, y=y)
+    params = GPSLCParams(ty_ls=jnp.asarray(1.0), y_noise=jnp.asarray(0.3), y_scale=jnp.asarray(1.0))
+    mean_cf, cov_cf = estimation.conditional_counterfactual_outcome(spec, data, params, t)
+    mean_ite, _ = estimation.conditional_ite(spec, data, params, t)
+    # factual f|Y mean = K(WW) (K+noise)^-1 y ; ITE = cf - factual = 0 here
+    np.testing.assert_allclose(np.asarray(mean_ite), 0.0, atol=1e-10)
+    assert np.all(np.diag(np.asarray(cov_cf)) >= -1e-10)
+    # shrinkage: |mean_cf| <= |y| envelope roughly (noise-shrunk)
+    assert np.all(np.abs(np.asarray(mean_cf)) <= np.abs(np.asarray(y)) + 1.0)
+
+
+def test_sample_counterfactual_outcomes_api(tmp_path):
+    import pathlib
+
+    import causalgpslc_tpu as cg
+
+    hp = cg.default_hyperparameters(n_outer=4, n_mh_inner=1, n_es_inner=1, n_burn_in=2, n_u=1)
+    g = cg.gpslc(str(pathlib.Path(__file__).parent / "data" / "no_cov.csv"), hyperparams=hp)
+    ycf = cg.sample_counterfactual_outcomes(g, 0.5, samples_per_posterior=3)
+    assert ycf.shape == (g.n, g.num_posterior_samples * 3)
+    assert np.isfinite(ycf).all()
