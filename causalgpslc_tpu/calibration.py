@@ -29,7 +29,7 @@ from scipy import stats as sps
 
 from .hyperparameters import HyperParameters, default_prior_parameters
 from .inference.gibbs import run_mcmc_jit
-from .models.blocks import t_cov, u_cov, y_cov
+from .models.blocks import t_cov, y_cov
 from .models.spec import ModelData, ModelSpec
 from .models.state import hyper_fields, init_from_prior
 from .ops.kernels import expit

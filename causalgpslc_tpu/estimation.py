@@ -20,13 +20,9 @@ default here; ``reference_quirks=True`` reproduces the reference behavior.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
-
 import jax
 import jax.numpy as jnp
 
-from .models.blocks import y_kernel_log
 from .models.spec import GPSLCParams, ModelData, ModelSpec
 from .ops.kernels import process_cov, rbf_kernel_log
 from .ops.linalg import add_jitter, chol_solve, safe_cholesky, symmetrize

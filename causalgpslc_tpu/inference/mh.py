@@ -18,7 +18,7 @@ The sweep order per variant matches the reference exactly (see
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

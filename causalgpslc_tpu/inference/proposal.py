@@ -8,10 +8,7 @@ analog for positive-support kernel hyperparameters.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
-import jax.numpy as jnp
 
 from ..ops.distributions import inv_gamma_logpdf, inv_gamma_sample
 

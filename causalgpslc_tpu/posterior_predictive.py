@@ -16,7 +16,6 @@ covariance build + Cholesky per sample.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .models.blocks import t_cov
