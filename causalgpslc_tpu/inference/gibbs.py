@@ -31,10 +31,8 @@ from ..hyperparameters import HyperParameters
 from ..models.blocks import (
     compute_block_lps,
     logp_t_bernoulli,
-    logp_t_gp,
-    logp_x,
-    logp_y,
     t_cov,
+    u_conditional_loglik,
     u_cov,
 )
 from ..models.spec import GPSLCParams, ModelData, ModelSpec
@@ -136,14 +134,7 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
                     for k in range(spec.n_u):
                         def u_lik(col, params=params, k=k):
                             p2 = params._replace(u=params.u.at[:, k].set(col))
-                            xs = (
-                                jnp.sum(logp_x(spec, data, p2))
-                                if spec.has_x
-                                else jnp.zeros((), dtype=dtype)
-                            )
-                            tl = logp_t_gp(spec, data, p2)
-                            yl = logp_y(spec, data, p2)
-                            return xs + tl + yl, (xs, tl, yl)
+                            return u_conditional_loglik(spec, data, p2)
 
                         cur_ll = x_sum + t_lp + y_lp
                         col_new, _, (x_sum, t_lp, y_lp), it = ess_update(

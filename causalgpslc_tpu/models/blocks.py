@@ -274,6 +274,40 @@ def log_joint(spec: ModelSpec, priors: dict, data: ModelData, params: GPSLCParam
 # ---------------------------------------------------------------------------
 
 
+def u_conditional_loglik(spec: ModelSpec, data: ModelData, params: GPSLCParams):
+    """Likelihood of the latent-confounder sites: every block whose covariance
+    depends on U — p(X|U), the T-GP factor, p(Y|U,X,T) — scored with ONE
+    batched Cholesky over the stacked (nX + 2, n, n) covariances instead of
+    nX + 2 sequential factorizations (the op-latency optimization for the
+    elliptical-slice inner loop; see BASELINE.md "Measured").
+
+    Returns ``(total, (x_sum, t_lp, y_lp))``.
+    """
+    dtype = data.y.dtype
+    covs = []
+    targets = []
+    if spec.has_x:
+        covs.append(x_cov_all(data, params))  # (nX, n, n)
+        targets.append(data.x.T)
+    t_target = params.logit_t if spec.binary_t else data.t
+    covs.append(t_cov(spec, data, params)[None])
+    targets.append(t_target[None])
+    covs.append(y_cov(spec, data, params)[None])
+    targets.append(data.y[None])
+
+    all_covs = jnp.concatenate(covs, axis=0)
+    all_targets = jnp.concatenate(targets, axis=0)
+    chols = safe_cholesky(all_covs)
+    lps = jax.vmap(mvn_logpdf_chol)(all_targets, chols)
+
+    if spec.has_x:
+        x_sum = jnp.sum(lps[: spec.n_x])
+    else:
+        x_sum = jnp.zeros((), dtype=dtype)
+    t_lp, y_lp = lps[-2], lps[-1]
+    return x_sum + t_lp + y_lp, (x_sum, t_lp, y_lp)
+
+
 class BlockLps(NamedTuple):
     """Current per-block log-likelihoods carried through a Gibbs sweep.
 
