@@ -40,7 +40,14 @@ def test_simulate_binary_dataset():
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "n_u,n_x,binary_t",
-    [(1, None, False), (None, 2, False), (1, None, True), (None, None, False)],
+    [
+        (1, None, False),
+        (None, 2, False),
+        (1, None, True),
+        (None, None, False),
+        (1, 2, False),  # full U+X variants exercise the x-block caching paths
+        (1, 2, True),
+    ],
 )
 def test_sbc_uniform_ranks(n_u, n_x, binary_t):
     """SBC across the 4 headline variants (BASELINE.json config #5)."""
