@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["effective_sample_size", "split_rhat", "stuck_sites", "summarize_chain_stats"]
+__all__ = ["effective_sample_size", "split_rhat", "stuck_sites", "summarize_chain_stats", "site_addresses", "profile_trace"]
 
 
 def _autocovariance_fft(x: np.ndarray) -> np.ndarray:
@@ -122,3 +122,43 @@ def summarize_chain_stats(stats) -> dict:
         "mean_ess_iters": float(np.mean(np.asarray(stats.ess_iters))),
         "final_log_joint": float(np.mean(np.asarray(stats.log_joint_blocks)[..., -1])),
     }
+
+
+def site_addresses(samples_or_params) -> list[str]:
+    """Names of present latent sites (the ``getAddresses`` debugging tool,
+    ``src/utils.jl:78-84``)."""
+    return [
+        f for f in samples_or_params._fields if getattr(samples_or_params, f) is not None
+    ]
+
+
+class profile_trace:
+    """Context manager wrapping ``jax.profiler`` for kernel-level traces:
+
+        with profile_trace("/tmp/gpslc-trace"):
+            run_mcmc_jit(...)
+
+    View with TensorBoard or xprof. No-op (with a warning) if the backend
+    does not support profiling.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self):
+        import jax
+
+        try:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception as e:  # pragma: no cover - backend dependent
+            print(f"[diagnostics] profiler unavailable: {e}")
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
