@@ -103,27 +103,29 @@ def run_mcmc_checkpointed(
     """
     from functools import partial
 
-    if hp.adapt_proposals:
-        raise NotImplementedError(
-            "adaptive proposals are not yet supported in chunked/checkpointed "
-            "runs; use run_mcmc / run_mcmc_jit"
-        )
     outer_step = make_outer_step(spec, priors, hp)
     dtype = data.y.dtype
 
     priors_items = tuple(sorted((k, float(v)) for k, v in priors.items()))
 
     @partial(jax.jit, static_argnames=("n_steps",))
-    def run_chunk(params, chunk_key, n_steps):
+    def run_chunk(params, chunk_key, drifts, n_steps):
         def body(p, k):
-            p, stats = outer_step(p, data, k)
-            return p, p
+            p, stats = outer_step(p, data, k, drifts if hp.adapt_proposals else None)
+            return p, (p, stats.move_accepts)
 
         return jax.lax.scan(body, params, jax.random.split(chunk_key, n_steps))
 
     run_chunk_chains = jax.jit(
-        jax.vmap(run_chunk, in_axes=(0, 0, None)), static_argnames=("n_steps",)
+        jax.vmap(run_chunk, in_axes=(0, 0, None, None)), static_argnames=("n_steps",)
     )
+
+    from ..inference.mh import block_sites, sweep_moves as _sweep_moves
+
+    n_moves = (
+        len(block_sites(spec)) if hp.mh_block_sweep else len(_sweep_moves(spec))
+    )
+    drifts = jax.numpy.full((n_moves,), priors["drift"], dtype=dtype)
 
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         params, key_arr, outer_done, samples = load_chain_state(checkpoint_path)
@@ -140,9 +142,25 @@ def run_mcmc_checkpointed(
         n_steps = min(checkpoint_every, hp.n_outer - outer_done)
         key, sub = jax.random.split(key)
         chunk_keys = jax.random.split(sub, hp.n_chains)
-        params, chunk_samples = run_chunk_chains(params, chunk_keys, n_steps)
+        params, (chunk_samples, chunk_accepts) = run_chunk_chains(
+            params, chunk_keys, drifts, n_steps
+        )
         samples = _concat_samples(samples, jax.tree.map(np.asarray, chunk_samples))
         outer_done += n_steps
+        if hp.adapt_proposals and outer_done < hp.n_burn_in:
+            # POOLED step-size adaptation: mean acceptance across every chain
+            # (an all-reduce over the chain axis when sharded — the
+            # "cross-host psum for step-size adaptation" of the north star),
+            # Robbins-Monro on log-variance, frozen after burn-in.
+            pooled = jax.numpy.mean(chunk_accepts, axis=(0, 1))  # (n_moves,)
+            gamma = 0.5 / (1.0 + outer_done) ** 0.6
+            drifts = jax.numpy.clip(
+                jax.numpy.exp(
+                    jax.numpy.log(drifts) + gamma * (pooled - hp.target_accept)
+                ),
+                1e-4,
+                1e3,
+            )
         if checkpoint_path is not None:
             save_chain_state(checkpoint_path, params, key, outer_done, samples)
         if progress_callback is not None:

@@ -54,3 +54,17 @@ def test_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(
         np.asarray(samples_resumed.u), np.asarray(samples_full.u), rtol=1e-12
     )
+
+
+def test_pooled_adaptation_in_chunked_runner(tmp_path):
+    """Chunked runs adapt proposal variances from POOLED cross-chain
+    acceptance during burn-in; the run completes and moves all sites."""
+    from causalgpslc_tpu.diagnostics import stuck_sites
+
+    spec, pp, data, hp = setup(n_chains=4)
+    hp = hp.replace(n_outer=12, n_burn_in=8, adapt_proposals=True)
+    samples, _, _ = run_mcmc_checkpointed(
+        jax.random.PRNGKey(3), spec, pp, data, hp, None, checkpoint_every=3
+    )
+    assert samples.ty_ls.shape == (4, 12)
+    assert stuck_sites(samples) == []
