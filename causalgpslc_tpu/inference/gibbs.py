@@ -97,9 +97,16 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
 
         if use_u_ess or use_logit_ess:
             # ESS prior covariances frozen at current params (reference
-            # recomputes them once per outer iteration before the ES loop).
-            u_chol = safe_cholesky(u_cov(data, params)) if use_u_ess else None
-            t_chol = safe_cholesky(t_cov(spec, data, params)) if use_logit_ess else None
+            # recomputes them once per outer iteration before the ES loop);
+            # when both are needed they share one batched factorization.
+            if use_u_ess and use_logit_ess:
+                both = safe_cholesky(
+                    jnp.stack([u_cov(data, params), t_cov(spec, data, params)])
+                )
+                u_chol, t_chol = both[0], both[1]
+            else:
+                u_chol = safe_cholesky(u_cov(data, params)) if use_u_ess else None
+                t_chol = safe_cholesky(t_cov(spec, data, params)) if use_logit_ess else None
 
             # cached likelihood components for the U moves
             x_sum = jnp.sum(lps.x) if lps.x is not None else jnp.zeros((), dtype=dtype)

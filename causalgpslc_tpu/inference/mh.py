@@ -35,6 +35,7 @@ from ..models.blocks import (
 from ..models.spec import GPSLCParams, ModelData, ModelSpec
 from ..models.state import hyper_fields
 from ..ops.distributions import inv_gamma_logpdf
+from ..ops.linalg import mvn_logpdf_chol, safe_cholesky
 from .proposal import propose, proposal_logpdf
 
 __all__ = ["sweep_moves", "mh_move", "mh_sweep"]
@@ -193,6 +194,16 @@ def mh_sweep(
 # uses the exact joint density ratio, this is a valid MH kernel for the same
 # posterior — it trades per-site acceptance for a ~10x smaller op count.
 # Select with HyperParameters.mh_block_sweep=True.
+#
+# Second op-count collapse: the four blocks have DISJOINT Markov blankets
+# given the latents (U, logitT) — u-block sites only enter p(U), t-block
+# sites only the T GP, y-block only p(Y|...), x-block only p(X|U) — so the
+# per-block accept/reject decisions are mutually independent and can run
+# simultaneously. The sweep therefore builds every block's proposal
+# covariance, stacks them into ONE (nU + 1 + 1 + nX, n, n) batched Cholesky +
+# ONE batched triangular solve, and accepts each block from the shared
+# factorization: ~2 matrix-op launches per sweep instead of ~8 sequential
+# ones (the per-op launch latency floor is the bottleneck; BASELINE.md).
 
 
 def block_sites(spec: ModelSpec) -> dict:
@@ -214,25 +225,14 @@ def block_sites(spec: ModelSpec) -> dict:
     return {b: s for b, s in blocks.items() if s}
 
 
-def _joint_propose(key, spec, priors, params, sites, drift):
-    """Drift-propose every element of ``sites``; returns (new_params,
-    sum log q(new|cur) - log q(cur|new), sum prior delta)."""
-    q_delta = jnp.zeros((), dtype=jax.tree.leaves(params)[0].dtype)
-    prior_delta = jnp.zeros_like(q_delta)
-    new_params = params
-    for i, field in enumerate(sites):
-        stem = FIELD_PRIOR_NAMES[field]
-        cur = getattr(params, field)
-        prop = propose(jax.random.fold_in(key, i), cur, drift)
-        new_params = new_params._replace(**{field: prop})
-        q_delta = q_delta + jnp.sum(
-            proposal_logpdf(cur, prop, drift) - proposal_logpdf(prop, cur, drift)
-        )
-        prior_delta = prior_delta + jnp.sum(
-            inv_gamma_logpdf(prop, priors[stem + "Shape"], priors[stem + "Scale"])
-            - inv_gamma_logpdf(cur, priors[stem + "Shape"], priors[stem + "Scale"])
-        )
-    return new_params, q_delta, prior_delta
+def _per_site_delta(field, cur, prop, priors, drift):
+    """Prior + proposal-correction log-ratio for one site, elementwise."""
+    stem = FIELD_PRIOR_NAMES[field]
+    pr = inv_gamma_logpdf(prop, priors[stem + "Shape"], priors[stem + "Scale"]) - inv_gamma_logpdf(
+        cur, priors[stem + "Shape"], priors[stem + "Scale"]
+    )
+    q = proposal_logpdf(cur, prop, drift) - proposal_logpdf(prop, cur, drift)
+    return pr + q
 
 
 def mh_blocked_sweep(
@@ -248,42 +248,82 @@ def mh_blocked_sweep(
 
     ``drifts``: optional per-block proposal variances, ordered as
     ``block_sites`` keys; ``None`` uses ``priors["drift"]``.
+
+    All blocks are proposed up front (disjoint site sets, so one combined
+    proposal pytree evaluates every block at its own proposal), their
+    covariances factorized in ONE stacked batched Cholesky, and each block
+    accepted independently. RNG streams match the earlier sequential
+    per-block implementation bit-for-bit.
     """
-    from ..models.blocks import logp_x
+    from ..models.blocks import t_cov, u_cov, x_cov_all, y_cov
 
     blocks = block_sites(spec)
     dtype = data.y.dtype
-    accepts = []
 
+    # ---- stage 1: propose every block's sites jointly --------------------
+    prop_params = params
+    block_delta: dict[str, jax.Array] = {}
+    acc_keys: dict[str, jax.Array] = {}
     for bi, (block, sites) in enumerate(blocks.items()):
         bkey = jax.random.fold_in(key, bi)
+        k_prop, k_acc = jax.random.split(bkey)
+        acc_keys[block] = k_acc
         drift = priors["drift"] if drifts is None else drifts[bi]
+        delta = jnp.zeros((spec.n_x,) if block == "x" else (), dtype=dtype)
+        for i, field in enumerate(sites):
+            cur = getattr(params, field)
+            prop = propose(jax.random.fold_in(k_prop, i), cur, drift)
+            prop_params = prop_params._replace(**{field: prop})
+            d = _per_site_delta(field, cur, prop, priors, drift)
+            if block == "x":
+                # per-covariate decomposition (leading axis is k)
+                delta = delta + (d.reshape(spec.n_x, -1).sum(axis=-1) if d.ndim > 1 else d)
+            else:
+                delta = delta + jnp.sum(d)
+        block_delta[block] = delta
 
+    # ---- stage 2: ONE stacked factorization over all proposal covs -------
+    covs, targets, index = [], [], {}
+    pos = 0
+    if "u" in blocks:
+        uc = u_cov(data, prop_params)
+        covs.append(jnp.broadcast_to(uc, (spec.n_u,) + uc.shape))
+        targets.append(params.u.T)
+        index["u"] = (pos, pos + spec.n_u)
+        pos += spec.n_u
+    if "t" in blocks:
+        covs.append(t_cov(spec, data, prop_params)[None])
+        targets.append((params.logit_t if spec.binary_t else data.t)[None])
+        index["t"] = (pos, pos + 1)
+        pos += 1
+    if "y" in blocks:
+        covs.append(y_cov(spec, data, prop_params)[None])
+        targets.append(data.y[None])
+        index["y"] = (pos, pos + 1)
+        pos += 1
+    if "x" in blocks:
+        covs.append(x_cov_all(data, prop_params))
+        targets.append(data.x.T)
+        index["x"] = (pos, pos + spec.n_x)
+        pos += spec.n_x
+
+    chols = safe_cholesky(jnp.concatenate(covs, axis=0))
+    lp_each = jax.vmap(mvn_logpdf_chol)(jnp.concatenate(targets, axis=0), chols)
+
+    # ---- stage 3: independent per-block accept/reject ---------------------
+    accepts = []
+    for block, sites in blocks.items():
+        k_acc = acc_keys[block]
+        s, e = index[block]
         if block == "x":
-            # per-covariate joint moves, disjoint Markov blankets, batched
-            k_prop, k_acc = jax.random.split(bkey)
-            new_params, _, _ = _joint_propose(k_prop, spec, priors, params, sites, drift)
-            new_lp = logp_x(spec, data, new_params)  # (nX,), one batched op
-            # per-k deltas: priors and proposals decompose over k
-            def per_k_delta(field, cur, prop):
-                stem = FIELD_PRIOR_NAMES[field]
-                pr = inv_gamma_logpdf(prop, priors[stem + "Shape"], priors[stem + "Scale"]) - inv_gamma_logpdf(
-                    cur, priors[stem + "Shape"], priors[stem + "Scale"]
-                )
-                q = proposal_logpdf(cur, prop, drift) - proposal_logpdf(prop, cur, drift)
-                delta = pr + q
-                return delta.reshape(delta.shape[0], -1).sum(axis=-1) if delta.ndim > 1 else delta
-
-            delta_k = jnp.zeros((spec.n_x,), dtype=dtype)
-            for field in sites:
-                delta_k = delta_k + per_k_delta(field, getattr(params, field), getattr(new_params, field))
-            log_alpha = (new_lp - lps.x) + delta_k
+            new_lp = lp_each[s:e]
+            log_alpha = (new_lp - lps.x) + block_delta[block]
             accept = (
                 jnp.log(jax.random.uniform(k_acc, (spec.n_x,), dtype=dtype)) < log_alpha
             ) & jnp.isfinite(new_lp)
             out_params = params
             for field in sites:
-                cur, prop = getattr(params, field), getattr(new_params, field)
+                cur, prop = getattr(params, field), getattr(prop_params, field)
                 mask = accept.reshape((spec.n_x,) + (1,) * (cur.ndim - 1))
                 out_params = out_params._replace(**{field: jnp.where(mask, prop, cur)})
             params = out_params
@@ -291,15 +331,13 @@ def mh_blocked_sweep(
             accepts.append(jnp.mean(accept.astype(dtype)))
             continue
 
-        k_prop, k_acc = jax.random.split(bkey)
-        new_params, q_delta, prior_delta = _joint_propose(k_prop, spec, priors, params, sites, drift)
-        new_lp = _block_lp(spec, data, new_params, block, None)
+        new_lp = jnp.sum(lp_each[s:e]) if e - s > 1 else lp_each[s]
         cur_lp = getattr(lps, block)
-        log_alpha = (new_lp - cur_lp) + prior_delta + q_delta
+        log_alpha = (new_lp - cur_lp) + block_delta[block]
         accept = (jnp.log(jax.random.uniform(k_acc, dtype=dtype)) < log_alpha) & jnp.isfinite(new_lp)
         out_params = params
         for field in sites:
-            cur, prop = getattr(params, field), getattr(new_params, field)
+            cur, prop = getattr(params, field), getattr(prop_params, field)
             out_params = out_params._replace(**{field: jnp.where(accept, prop, cur)})
         params = out_params
         lps = lps._replace(**{block: jnp.where(accept, new_lp, cur_lp)})

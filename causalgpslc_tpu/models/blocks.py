@@ -322,9 +322,41 @@ class BlockLps(NamedTuple):
 
 
 def compute_block_lps(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> BlockLps:
+    """All block log-likelihoods with ONE stacked batched factorization.
+
+    Numerically identical to calling ``logp_u``/``logp_x``/``logp_t_gp``/
+    ``logp_y`` separately, but the (nU + nX + 2, n, n) covariances factorize
+    in a single batched Cholesky + batched solve — the Gibbs sweep is bound
+    by sequential matrix-op launch latency, not FLOPs (BASELINE.md)."""
+    covs, targets, seg = [], [], {}
+    pos = 0
+    if spec.has_u:
+        uc = u_cov(data, params)
+        covs.append(jnp.broadcast_to(uc, (spec.n_u,) + uc.shape))
+        targets.append(params.u.T)
+        seg["u"] = slice(pos, pos + spec.n_u)
+        pos += spec.n_u
+        if spec.has_x:
+            covs.append(x_cov_all(data, params))
+            targets.append(data.x.T)
+            seg["x"] = slice(pos, pos + spec.n_x)
+            pos += spec.n_x
+    if spec.has_u or spec.has_x:
+        covs.append(t_cov(spec, data, params)[None])
+        targets.append((params.logit_t if spec.binary_t else data.t)[None])
+        seg["t"] = pos
+        pos += 1
+    covs.append(y_cov(spec, data, params)[None])
+    targets.append(data.y[None])
+    seg["y"] = pos
+
+    chols = safe_cholesky(jnp.concatenate(covs, axis=0))
+    lp = jax.vmap(mvn_logpdf_chol)(jnp.concatenate(targets, axis=0), chols)
+
     return BlockLps(
-        u=logp_u(spec, data, params) if spec.has_u else None,
-        x=logp_x(spec, data, params) if (spec.has_u and spec.has_x) else None,
-        t=logp_t_gp(spec, data, params),
-        y=logp_y(spec, data, params),
+        u=jnp.sum(lp[seg["u"]]) if "u" in seg else None,
+        x=lp[seg["x"]] if "x" in seg else None,
+        # no-U-no-X variants: T prior is a standard normal, no factorization
+        t=lp[seg["t"]] if "t" in seg else logp_t_gp(spec, data, params),
+        y=lp[seg["y"]],
     )
