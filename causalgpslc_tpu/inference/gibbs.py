@@ -38,7 +38,8 @@ from ..models.blocks import (
 from ..models.spec import GPSLCParams, ModelData, ModelSpec
 from ..models.state import init_from_prior
 from ..ops.distributions import bernoulli_logit_logpdf
-from ..ops.linalg import mvn_logpdf_chol, safe_cholesky
+from ..ops.blocked_chol import CholFactors, blocked_cholesky, mvn_logpdf_b
+from ..ops.linalg import mvn_logpdf_chol, quantum_free_mode, stabilize_cov
 from .ess import ess_update
 from .mh import block_sites, mh_blocked_sweep, mh_sweep, sweep_moves
 
@@ -84,9 +85,16 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
             )
             return params, lps, acc + a
 
-        params, lps, n_acc = jax.lax.fori_loop(
-            0, n_mh_inner, mh_body, (params, lps, jnp.zeros((n_moves,), dtype=dtype))
-        )
+        carry = (params, lps, jnp.zeros((n_moves,), dtype=dtype))
+        if n_mh_inner <= 16:
+            # statically unrolled: on the axon backend every XLA While/fori
+            # ITERATION pays a fixed dispatch quantum (BASELINE.md), while
+            # straight-line chains are free — same RNG stream either way.
+            for i in range(n_mh_inner):
+                carry = mh_body(i, carry)
+        else:
+            carry = jax.lax.fori_loop(0, n_mh_inner, mh_body, carry)
+        params, lps, n_acc = carry
         move_accepts = n_acc / n_mh_inner
         accept_rate = jnp.mean(move_accepts)
 
@@ -98,15 +106,31 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
         if use_u_ess or use_logit_ess:
             # ESS prior covariances frozen at current params (reference
             # recomputes them once per outer iteration before the ES loop);
-            # when both are needed they share one batched factorization.
-            if use_u_ess and use_logit_ess:
-                both = safe_cholesky(
-                    jnp.stack([u_cov(data, params), t_cov(spec, data, params)])
-                )
-                u_chol, t_chol = both[0], both[1]
+            # all needed priors share one stacked factorization, routed
+            # through the quantum-free blocked path on TPU f32 (the dense
+            # factor feeds the nu-draws; the block factors make the per-move
+            # prior logpdf refreshes solve-free straight-line matmuls).
+            ess_covs = []
+            if use_u_ess:
+                ess_covs.append(u_cov(data, params))
+            if use_logit_ess:
+                ess_covs.append(t_cov(spec, data, params))
+            stacked = stabilize_cov(jnp.stack(ess_covs))
+            qf_mode = quantum_free_mode(dtype)
+            if qf_mode is not None:
+                facs = blocked_cholesky(stacked, use_pallas=qf_mode == "pallas")
+                dense = facs.l[..., : spec.n, : spec.n]
+
+                def _fac(i):
+                    return CholFactors(l=facs.l[i], linv=facs.linv[i], n=spec.n)
+
+                u_fac = _fac(0) if use_u_ess else None
+                t_fac = _fac(len(ess_covs) - 1) if use_logit_ess else None
             else:
-                u_chol = safe_cholesky(u_cov(data, params)) if use_u_ess else None
-                t_chol = safe_cholesky(t_cov(spec, data, params)) if use_logit_ess else None
+                dense = jnp.linalg.cholesky(stacked)
+                u_fac = t_fac = None
+            u_chol = dense[0] if use_u_ess else None
+            t_chol = dense[len(ess_covs) - 1] if use_logit_ess else None
 
             # cached likelihood components for the U moves
             x_sum = jnp.sum(lps.x) if lps.x is not None else jnp.zeros((), dtype=dtype)
@@ -135,7 +159,11 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
                         # the U-move likelihood's T-GP factor depends on
                         # logitT; its covariance does not, so refresh via the
                         # frozen factor (O(n^2), no new Cholesky).
-                        t_lp = mvn_logpdf_chol(lt_new, t_chol)
+                        t_lp = (
+                            mvn_logpdf_b(lt_new, t_fac)
+                            if t_fac is not None
+                            else mvn_logpdf_chol(lt_new, t_chol)
+                        )
 
                 if use_u_ess:
                     for k in range(spec.n_u):
@@ -158,9 +186,12 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
             lps_total = x_sum + t_lp + y_lp + (bern_ll if bern_ll is not None else 0.0)
             if lps.u is not None:
                 # U prior term at final state
-                lps_total = lps_total + jnp.sum(
-                    jax.vmap(lambda c: mvn_logpdf_chol(c, u_chol))(params.u.T)
-                )
+                if u_fac is not None:
+                    lps_total = lps_total + jnp.sum(mvn_logpdf_b(params.u.T, u_fac))
+                else:
+                    lps_total = lps_total + jnp.sum(
+                        jax.vmap(lambda c: mvn_logpdf_chol(c, u_chol))(params.u.T)
+                    )
         else:
             lps_total = lps.t + lps.y
             if lps.x is not None:

@@ -35,7 +35,7 @@ from ..models.blocks import (
 from ..models.spec import GPSLCParams, ModelData, ModelSpec
 from ..models.state import hyper_fields
 from ..ops.distributions import inv_gamma_logpdf
-from ..ops.linalg import mvn_logpdf_chol, safe_cholesky
+from ..ops.linalg import stacked_mvn_logliks
 from .proposal import propose, proposal_logpdf
 
 __all__ = ["sweep_moves", "mh_move", "mh_sweep"]
@@ -307,8 +307,9 @@ def mh_blocked_sweep(
         index["x"] = (pos, pos + spec.n_x)
         pos += spec.n_x
 
-    chols = safe_cholesky(jnp.concatenate(covs, axis=0))
-    lp_each = jax.vmap(mvn_logpdf_chol)(jnp.concatenate(targets, axis=0), chols)
+    lp_each = stacked_mvn_logliks(
+        jnp.concatenate(covs, axis=0), jnp.concatenate(targets, axis=0)
+    )
 
     # ---- stage 3: independent per-block accept/reject ---------------------
     accepts = []

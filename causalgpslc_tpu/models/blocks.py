@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..ops.distributions import bernoulli_logit_logpdf, inv_gamma_logpdf
 from ..ops.kernels import process_cov, rbf_kernel_log
-from ..ops.linalg import mvn_logpdf, mvn_logpdf_chol, safe_cholesky
+from ..ops.linalg import mvn_logpdf, mvn_logpdf_chol, safe_cholesky, stacked_mvn_logliks
 from .spec import GPSLCParams, ModelData, ModelSpec
 
 __all__ = [
@@ -297,8 +297,7 @@ def u_conditional_loglik(spec: ModelSpec, data: ModelData, params: GPSLCParams):
 
     all_covs = jnp.concatenate(covs, axis=0)
     all_targets = jnp.concatenate(targets, axis=0)
-    chols = safe_cholesky(all_covs)
-    lps = jax.vmap(mvn_logpdf_chol)(all_targets, chols)
+    lps = stacked_mvn_logliks(all_covs, all_targets)
 
     if spec.has_x:
         x_sum = jnp.sum(lps[: spec.n_x])
@@ -350,8 +349,7 @@ def compute_block_lps(spec: ModelSpec, data: ModelData, params: GPSLCParams) -> 
     targets.append(data.y[None])
     seg["y"] = pos
 
-    chols = safe_cholesky(jnp.concatenate(covs, axis=0))
-    lp = jax.vmap(mvn_logpdf_chol)(jnp.concatenate(targets, axis=0), chols)
+    lp = stacked_mvn_logliks(jnp.concatenate(covs, axis=0), jnp.concatenate(targets, axis=0))
 
     return BlockLps(
         u=jnp.sum(lp[seg["u"]]) if "u" in seg else None,

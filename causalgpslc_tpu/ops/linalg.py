@@ -23,12 +23,15 @@ from jax.scipy.linalg import solve_triangular
 __all__ = [
     "symmetrize",
     "add_jitter",
+    "stabilize_cov",
     "safe_cholesky",
     "chol_solve",
     "chol_logdet",
     "mvn_logpdf_chol",
     "mvn_logpdf",
     "mvn_sample",
+    "use_quantum_free",
+    "stacked_mvn_logliks",
 ]
 
 _F32_REL_JITTER = 1e-5
@@ -44,21 +47,72 @@ def add_jitter(cov: jax.Array, jitter) -> jax.Array:
     return cov + jnp.eye(n, dtype=cov.dtype) * jitter
 
 
-def safe_cholesky(cov: jax.Array, jitter=None) -> jax.Array:
-    """Lower Cholesky factor with a dtype-aware stabilization policy.
+def stabilize_cov(cov: jax.Array, jitter=None) -> jax.Array:
+    """Symmetrize + dtype-aware stabilization (shared by both chol backends).
 
     - explicit ``jitter``: always added.
-    - float64: factorize as-is (parity with Julia ``cholesky``).
+    - float64: as-is (parity with Julia ``cholesky``).
     - float32: add ``1e-5 * mean(diag)`` — the reference's 1e-13-scale
       diagonal terms vanish in float32, so a relative floor is required.
     """
     cov = symmetrize(cov)
     if jitter is not None:
-        cov = add_jitter(cov, jitter)
-    elif cov.dtype == jnp.float32:
+        return add_jitter(cov, jitter)
+    if cov.dtype == jnp.float32:
         diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
-        cov = add_jitter(cov, _F32_REL_JITTER * jnp.mean(diag, axis=-1, keepdims=True)[..., None])
-    return jnp.linalg.cholesky(cov)
+        return add_jitter(cov, _F32_REL_JITTER * jnp.mean(diag, axis=-1, keepdims=True)[..., None])
+    return cov
+
+
+def safe_cholesky(cov: jax.Array, jitter=None) -> jax.Array:
+    """Lower Cholesky factor with a dtype-aware stabilization policy."""
+    return jnp.linalg.cholesky(stabilize_cov(cov, jitter))
+
+
+def quantum_free_mode(dtype):
+    """How to factorize: None (XLA cholesky), "pallas" (blocked driver with
+    the unrolled Pallas base kernel), or "xla-base" (blocked driver with an
+    XLA base case — CPU-testable, used by CAUSALGPSLC_QFC=cpu).
+
+    On the axon TPU backend every XLA While iteration pays a fixed dispatch
+    quantum, and XLA's cholesky/triangular_solve are internally blocked While
+    loops (~3 ms each at n=512, any batch size) — the blocked path replaces
+    them with straight-line matmuls plus one unrolled Pallas base-case
+    kernel. Opt-out with CAUSALGPSLC_QFC=off."""
+    import os
+
+    mode = os.environ.get("CAUSALGPSLC_QFC", "auto")
+    if mode == "off":
+        return None
+    if mode == "cpu":
+        return "xla-base"
+    if dtype == jnp.float64:
+        return None  # TPU Pallas has no f64; CPU parity path stays on LAPACK
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else None
+    except Exception:  # pragma: no cover
+        return None
+
+
+def use_quantum_free(dtype) -> bool:
+    return quantum_free_mode(dtype) is not None
+
+
+def stacked_mvn_logliks(covs: jax.Array, targets: jax.Array, jitter=None) -> jax.Array:
+    """``log N(targets[i]; 0, covs[i])`` for a stacked (B, n, n) batch.
+
+    The single scoring primitive of the whole sampler: every MH sweep, ESS
+    iteration, and block-lp refresh funnels through here. Dispatches to the
+    quantum-free blocked factorization on TPU float32, LAPACK-style XLA ops
+    elsewhere."""
+    covs = stabilize_cov(covs, jitter)
+    mode = quantum_free_mode(covs.dtype)
+    if mode is not None:
+        from .blocked_chol import blocked_cholesky, mvn_logpdf_b
+
+        return mvn_logpdf_b(targets, blocked_cholesky(covs, use_pallas=mode == "pallas"))
+    chols = jnp.linalg.cholesky(covs)
+    return jax.vmap(mvn_logpdf_chol)(targets, chols)
 
 
 def chol_solve(chol: jax.Array, b: jax.Array) -> jax.Array:
