@@ -55,7 +55,10 @@ def ess_update(
     Args:
       key: PRNG key.
       f: current value, shape ``(n,)``.
-      chol_prior: lower Cholesky factor of the prior covariance.
+      chol_prior: lower Cholesky factor of the prior covariance, or a
+        callable ``key -> nu`` drawing from the prior directly (used when the
+        prior has O(n) structure, e.g. the block SigmaU of
+        ``ops/structured.py``, and a dense factor is never formed).
       loglik_fn: ``f -> (loglik, aux)`` — likelihood of the site (the joint
         with the prior factored out, what Gen's ``elliptical_slice`` scores).
       cur_loglik / cur_aux: cached ``loglik_fn(f)`` at the current state.
@@ -66,7 +69,10 @@ def ess_update(
     dtype = f.dtype
     k_nu, k_logy, k_theta, k_loop = jax.random.split(key, 4)
 
-    nu = chol_prior @ jax.random.normal(k_nu, f.shape, dtype=dtype)
+    if callable(chol_prior):
+        nu = chol_prior(k_nu)
+    else:
+        nu = chol_prior @ jax.random.normal(k_nu, f.shape, dtype=dtype)
     log_y = cur_loglik + jnp.log(jax.random.uniform(k_logy, dtype=dtype))
 
     theta = jax.random.uniform(k_theta, dtype=dtype) * _TWO_PI

@@ -1,0 +1,390 @@
+"""Large-N MCMC: the N x N covariances sharded over a device mesh.
+
+This is BASELINE config #4 (N = 5k-50k), the scaling axis the reference
+lacks entirely: its kernels are dense ``zeros(n, n)`` double loops
+(``/root/reference/src/kernel.jl:24-42``) and every density evaluation is a
+single-CPU LAPACK Cholesky, capping it at N of a few hundred (largest
+shipped dataset: IHDP, n=272).
+
+Design (SPMD over a 1-D ``"n"`` mesh axis):
+
+- **Vectors stay replicated.** T, Y, U, hyperparameters, PRNG keys are O(N)
+  or O(1) — trivially small even at N=50k.  All control flow (MH
+  accept/reject, ESS angle shrinkage) computes identically on every device.
+- **Only the N x N covariances are sharded.** Each density evaluation
+  builds its (N/D, N) row block locally from the replicated feature vectors
+  (``ops/dist_linalg.dist_rbf_cov_rows``) and runs the distributed Cholesky
+  + forward solve (``dist_mvn_logpdf``).  Both O(N^2) memory and O(N^3)
+  FLOPs divide by the mesh size; the per-panel ``all_gather`` rides ICI.
+- **SigmaU never materializes.** The U prior and the elliptical-slice
+  ``nu`` draws use the O(N) Sherman-Morrison closed forms of
+  ``ops/structured.py`` instead of the reference's dense ``generateSigmaU``
+  block matrix (``src/utils.jl:17-33``).
+- **Blocked MH sweeps only.** One distributed factorization scores a joint
+  proposal over all sites of a GP block (treatment block, outcome block) —
+  the large-N counterpart of the dense engine's ``mh_blocked_sweep`` fast
+  path.  Site-by-site sweeps would multiply the distributed-Cholesky count
+  by the site count for the same stationary distribution family.
+
+Padding: N is padded up to a multiple of ``D * block`` with sentinel points
+placed so far away that their kernel rows are exactly zero; the padded
+block contributes a closed-form constant to the log-density which is
+subtracted exactly (it depends on scale/noise, so it cannot be ignored in
+MH ratios).
+
+Currently implemented for the flagship NoCov continuous-treatment variant
+(``CausalGPSLCNoCovRealT``, ``src/model.jl:45-57`` — the headline bench
+config).  Covariate blocks compose the same way (per-column X densities are
+additional sharded GPs) and are staged next.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..hyperparameters import HyperParameters, default_hyperparameters, default_prior_parameters
+from ..inference.ess import ess_update
+from ..inference.proposal import propose, proposal_logpdf
+from ..models.spec import GPSLCParams
+from ..ops.distributions import inv_gamma_logpdf
+from ..ops.dist_linalg import dist_mvn_logpdf, dist_rbf_cov_rows, local_rows
+from ..ops.structured import segment_ids_from_counts, sigma_u_logpdf, sigma_u_sample
+
+__all__ = ["n_mesh", "sharded_gp_logpdf", "run_mcmc_large_n", "LargeNStats"]
+
+N_AXIS = "n"
+
+# Sentinel offset for padded points: distance^2 >= 1e8 makes every padded
+# kernel entry exp(-1e8) == 0.0 exactly in both float32 and float64.
+_PAD_SENTINEL = 1.0e4
+
+
+class LargeNStats(NamedTuple):
+    mh_accept_rate: jax.Array
+    ess_iters: jax.Array
+    log_joint: jax.Array
+
+
+def n_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the row axis of the N x N covariances."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (N_AXIS,))
+
+
+def _padded_size(n: int, n_devices: int, block: int) -> int:
+    q = n_devices * block
+    return ((n + q - 1) // q) * q
+
+
+def _pad_features(f: jax.Array, n_pad: int) -> jax.Array:
+    """Append sentinel rows mutually and jointly far from all real points."""
+    if n_pad == 0:
+        return f
+    sent = _PAD_SENTINEL * (1.0 + jnp.arange(n_pad, dtype=f.dtype))[:, None]
+    return jnp.concatenate([f, jnp.broadcast_to(sent, (n_pad, f.shape[1]))], axis=0)
+
+
+def _pad_vec(v: jax.Array, n_pad: int) -> jax.Array:
+    return jnp.concatenate([v, jnp.zeros((n_pad,), dtype=v.dtype)]) if n_pad else v
+
+
+def _rel_jitter(scale, noise, dtype):
+    """float32 needs a relative diagonal floor (mirrors ``stabilize_cov``:
+    the diagonal of every GPSLC covariance is exactly ``scale + noise``)."""
+    if dtype == jnp.float32:
+        return 1e-5 * (scale + noise)
+    return jnp.zeros((), dtype=dtype)
+
+
+def _pad_correction(n_pad: int, diag_val, dtype):
+    """Padded points contribute ``n_pad`` iid ``N(0; diag_val)`` zeros."""
+    if n_pad == 0:
+        return jnp.zeros((), dtype=dtype)
+    two_pi = jnp.asarray(2.0 * jnp.pi, dtype=dtype)
+    return -0.5 * n_pad * (jnp.log(two_pi) + jnp.log(diag_val))
+
+
+def _gp_logpdf_shard(features, y, scale, noise, *, axis, n_local, block, unroll, n_pad):
+    """Replicated ``log N(y; 0, exp(-cdist^2(features)) * scale + noise I)``.
+
+    Call inside ``shard_map``; ``features``/``y`` are padded and replicated.
+    """
+    dtype = y.dtype
+    jitter = _rel_jitter(scale, noise, dtype)
+    cov_loc = dist_rbf_cov_rows(
+        [features], [jnp.ones((), dtype=dtype)], scale, noise + jitter,
+        axis=axis, n_local=n_local,
+    )
+    rows = local_rows(axis, n_local)
+    lp = dist_mvn_logpdf(cov_loc, y[rows], axis=axis, block=block, unroll=unroll)
+    return lp - _pad_correction(n_pad, scale + noise + jitter, dtype)
+
+
+def sharded_gp_logpdf(
+    features: jax.Array,
+    y: jax.Array,
+    scale,
+    noise,
+    *,
+    mesh: Optional[Mesh] = None,
+    block: int = 256,
+    unroll: int = 1,
+) -> jax.Array:
+    """Distributed GP log-density ``log N(y; 0, build_cov(features, scale, noise))``.
+
+    The standalone sharded counterpart of the dense
+    ``models.blocks.build_cov`` + ``ops.linalg.mvn_logpdf`` pair; handles
+    arbitrary N by sentinel padding.
+    """
+    mesh = mesh if mesh is not None else n_mesh()
+    n_dev = mesh.devices.size
+    features = jnp.asarray(features)
+    features = features[:, None] if features.ndim == 1 else features
+    y = jnp.asarray(y)
+    n = y.shape[0]
+    n_padded = _padded_size(n, n_dev, block)
+    n_pad = n_padded - n
+    f_p = _pad_features(features.astype(y.dtype), n_pad)
+    y_p = _pad_vec(y, n_pad)
+    scale = jnp.asarray(scale, dtype=y.dtype)
+    noise = jnp.asarray(noise, dtype=y.dtype)
+
+    body = partial(
+        _gp_logpdf_shard,
+        axis=N_AXIS,
+        n_local=n_padded // n_dev,
+        block=block,
+        unroll=unroll,
+        n_pad=n_pad,
+    )
+    shmap = jax.shard_map(body, mesh=mesh, in_specs=P(), out_specs=P())
+    return jax.jit(shmap)(f_p, y_p, scale, noise)
+
+
+# ---------------------------------------------------------------------------
+# Large-N MCMC (NoCov continuous variant)
+# ---------------------------------------------------------------------------
+
+_T_SITES = ("ut_ls", "t_scale", "t_noise")
+_Y_SITES = ("uy_ls", "ty_ls", "y_scale", "y_noise")
+_SITE_PRIOR = {
+    "u_noise": "uNoise",
+    "t_noise": "tNoise",
+    "y_noise": "yNoise",
+    "ut_ls": "utLS",
+    "uy_ls": "uyLS",
+    "ty_ls": "tyLS",
+    "t_scale": "tScale",
+    "y_scale": "yScale",
+}
+
+
+def _site_prior_lp(priors, name, val):
+    stem = _SITE_PRIOR[name]
+    return jnp.sum(inv_gamma_logpdf(val, priors[stem + "Shape"], priors[stem + "Scale"]))
+
+
+def _mh_block(key, params, sites, cur_lp, lp_fn, priors, drift):
+    """Joint InvGamma-drift MH move over a GP block's hyperparameter sites.
+
+    One distributed density evaluation scores the whole block (the large-N
+    ``mh_blocked_sweep``); proposal is the reference's moment-matched
+    InvGamma drift applied independently per site
+    (``src/proposal.jl:32-41``).
+    """
+    new_vals = {}
+    log_q_fwd = jnp.zeros((), dtype=cur_lp.dtype)
+    log_q_rev = jnp.zeros((), dtype=cur_lp.dtype)
+    prior_cur = jnp.zeros((), dtype=cur_lp.dtype)
+    prior_new = jnp.zeros((), dtype=cur_lp.dtype)
+    for i, s in enumerate(sites):
+        cur = getattr(params, s)
+        prop = propose(jax.random.fold_in(key, i), cur, drift)
+        new_vals[s] = prop
+        log_q_fwd = log_q_fwd + jnp.sum(proposal_logpdf(prop, cur, drift))
+        log_q_rev = log_q_rev + jnp.sum(proposal_logpdf(cur, prop, drift))
+        prior_cur = prior_cur + _site_prior_lp(priors, s, cur)
+        prior_new = prior_new + _site_prior_lp(priors, s, prop)
+
+    cand = params._replace(**new_vals)
+    new_lp = lp_fn(cand)
+    log_alpha = (new_lp + prior_new + log_q_rev) - (cur_lp + prior_cur + log_q_fwd)
+    accept = jnp.log(jax.random.uniform(jax.random.fold_in(key, 1000), dtype=cur_lp.dtype)) < log_alpha
+    out = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, params)
+    return out, jnp.where(accept, new_lp, cur_lp), accept.astype(cur_lp.dtype)
+
+
+def run_mcmc_large_n(
+    key: jax.Array,
+    t,
+    y,
+    counts,
+    *,
+    n_u: int = 1,
+    priors: Optional[dict] = None,
+    hp: Optional[HyperParameters] = None,
+    mesh: Optional[Mesh] = None,
+    block: int = 256,
+    unroll: int = 1,
+    dtype=None,
+):
+    """Sharded-N MCMC for the NoCov continuous GPSLC variant.
+
+    Single chain (chain parallelism composes as a second mesh axis: chains
+    are embarrassingly parallel, so a (chains, n) 2-D mesh runs this program
+    per chain row).  Returns ``(samples, stats, final_params)`` with sample
+    leaves of leading dim ``n_outer``, mirroring
+    :func:`causalgpslc_tpu.inference.gibbs.run_mcmc`.
+    """
+    priors = dict(priors) if priors is not None else default_prior_parameters()
+    hp = hp if hp is not None else default_hyperparameters()
+    mesh = mesh if mesh is not None else n_mesh()
+    n_dev = mesh.devices.size
+
+    t = np.asarray(t)
+    y = np.asarray(y)
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    n = y.shape[0]
+    n_padded = _padded_size(n, n_dev, block)
+    n_pad = n_padded - n
+    n_local = n_padded // n_dev
+    seg_ids = segment_ids_from_counts(counts)
+    counts_t = tuple(int(c) for c in counts)
+    drift = jnp.asarray(priors["drift"], dtype=dtype)
+    eps = float(priors.get("sigmaUNoise", 1e-13))
+    ucov = float(priors.get("sigmaUCov", 1.0))
+    priors_j = {k: jnp.asarray(v, dtype=dtype) for k, v in priors.items() if k != "SigmaU"}
+
+    t_j = jnp.asarray(t, dtype=dtype)
+    y_p = _pad_vec(jnp.asarray(y, dtype=dtype), n_pad)
+
+    n_mh_inner = hp.n_mh_inner or 1
+    n_es_inner = hp.n_es_inner or 0
+
+    def _gp_lp(feats_unpadded, target_p, scale, noise):
+        return _gp_logpdf_shard(
+            _pad_features(feats_unpadded, n_pad), target_p, scale, noise,
+            axis=N_AXIS, n_local=n_local, block=block, unroll=unroll, n_pad=n_pad,
+        )
+
+    t_p = _pad_vec(t_j, n_pad)
+
+    def lp_t(params, u):
+        # T | U: processCov(rbfKernelLog(U, U, utLS), tScale, tNoise)
+        # (generateRealTfromU, src/model_likelihood.jl:46-52)
+        return _gp_lp(u / params.ut_ls, t_p, params.t_scale, params.t_noise)
+
+    def lp_y(params, u):
+        # Y | U, T: additive log-kernels == one pairwise pass over the
+        # concatenated scaled features (generateYfromUT, src/model_likelihood.jl:94-101)
+        feats = jnp.concatenate([t_j[:, None] / params.ty_ls, u / params.uy_ls], axis=1)
+        return _gp_lp(feats, y_p, params.y_scale, params.y_noise)
+
+    def lp_u(params, u):
+        return jnp.sum(
+            sigma_u_logpdf(u.T, seg_ids, counts_t, params.u_noise, eps=eps, cov=ucov)
+        )
+
+    def outer_step(carry, step_key):
+        params, lps = carry
+        lpu, lpt, lpy = lps
+        k_mh, k_ess = jax.random.split(step_key)
+        n_acc = jnp.zeros((), dtype=dtype)
+
+        for i in range(n_mh_inner):
+            ki = jax.random.fold_in(k_mh, i)
+            params, lpu, a0 = _mh_block(
+                jax.random.fold_in(ki, 0), params, ("u_noise",), lpu,
+                lambda p: lp_u(p, params.u), priors_j, drift,
+            )
+            params, lpt, a1 = _mh_block(
+                jax.random.fold_in(ki, 1), params, _T_SITES, lpt,
+                lambda p: lp_t(p, params.u), priors_j, drift,
+            )
+            params, lpy, a2 = _mh_block(
+                jax.random.fold_in(ki, 2), params, _Y_SITES, lpy,
+                lambda p: lp_y(p, params.u), priors_j, drift,
+            )
+            n_acc = n_acc + a0 + a1 + a2
+
+        ess_iters = jnp.zeros((), dtype=jnp.int32)
+        for j in range(n_es_inner):
+            kj = jax.random.fold_in(k_ess, j)
+            for k in range(n_u):
+                def u_lik(col, params=params, k=k):
+                    u2 = params.u.at[:, k].set(col)
+                    lt = lp_t(params, u2)
+                    ly = lp_y(params, u2)
+                    return lt + ly, (lt, ly)
+
+                def nu_sample(nk, params=params):
+                    return sigma_u_sample(
+                        nk, seg_ids, counts_t, params.u_noise,
+                        eps=eps, cov=ucov, dtype=dtype,
+                    )
+
+                col_new, _, (lpt, lpy), it = ess_update(
+                    jax.random.fold_in(kj, k), params.u[:, k], nu_sample,
+                    u_lik, lpt + lpy, (lpt, lpy),
+                )
+                params = params._replace(u=params.u.at[:, k].set(col_new))
+                ess_iters = ess_iters + it
+            lpu = lp_u(params, params.u)
+
+        stats = LargeNStats(
+            mh_accept_rate=n_acc / (3.0 * n_mh_inner),
+            ess_iters=ess_iters,
+            log_joint=lpu + lpt + lpy,
+        )
+        return (params, (lpu, lpt, lpy)), (params, stats)
+
+    def run_shard(key, u0, params0):
+        params0 = params0._replace(u=u0)
+        lps0 = (
+            lp_u(params0, u0),
+            lp_t(params0, u0),
+            lp_y(params0, u0),
+        )
+        (final, _), (samples, stats) = jax.lax.scan(
+            outer_step, (params0, lps0), jax.random.split(key, hp.n_outer)
+        )
+        return samples, stats, final
+
+    # init from the prior (replicated randomness)
+    from ..ops.distributions import inv_gamma_sample
+
+    k_init, k_run = jax.random.split(jax.random.key(0) if key is None else key)
+
+    def ig(kk, stem, shape=()):
+        a = jnp.full(shape, priors_j[stem + "Shape"], dtype=dtype)
+        b = jnp.full(shape, priors_j[stem + "Scale"], dtype=dtype)
+        return inv_gamma_sample(kk, a, b)
+
+    keys = jax.random.split(k_init, 10)
+    u_noise0 = ig(keys[1], "uNoise")
+    u0 = jax.vmap(
+        lambda kk: sigma_u_sample(kk, seg_ids, counts_t, u_noise0, eps=eps, cov=ucov, dtype=dtype)
+    )(jax.random.split(keys[0], n_u)).T
+    params0 = GPSLCParams(
+        u_noise=u_noise0,
+        t_noise=ig(keys[2], "tNoise"),
+        y_noise=ig(keys[3], "yNoise"),
+        ut_ls=ig(keys[4], "utLS", (n_u,)),
+        uy_ls=ig(keys[5], "uyLS", (n_u,)),
+        ty_ls=ig(keys[6], "tyLS"),
+        t_scale=ig(keys[7], "tScale"),
+        y_scale=ig(keys[9], "yScale"),
+        u=jnp.zeros((n, n_u), dtype=dtype),
+    )
+
+    shmap = jax.shard_map(run_shard, mesh=mesh, in_specs=P(), out_specs=P())
+    return jax.jit(shmap)(k_run, u0, params0)

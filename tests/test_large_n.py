@@ -1,0 +1,140 @@
+"""Large-N sharded MCMC + O(N) structured SigmaU ops.
+
+The Sherman-Morrison SigmaU closed forms are checked exactly against the
+dense ``generateSigmaU`` construction (``src/utils.jl:17-33``); the sharded
+MCMC's tracked log-joint is cross-checked against the dense engine's block
+densities evaluated at the sampled state.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from causalgpslc_tpu.hyperparameters import (
+    default_hyperparameters,
+    default_prior_parameters,
+)
+from causalgpslc_tpu.models.spec import ModelData, ModelSpec
+from causalgpslc_tpu.ops.linalg import mvn_logpdf
+from causalgpslc_tpu.ops.structured import (
+    segment_ids_from_counts,
+    sigma_u_logpdf,
+    sigma_u_sample,
+)
+from causalgpslc_tpu.parallel.large_n import n_mesh, run_mcmc_large_n
+from causalgpslc_tpu.utils.structure import generate_sigma_u
+
+COUNTS = [3, 1, 4, 2, 6]
+
+
+def test_sigma_u_logpdf_matches_dense():
+    # Well-conditioned eps: at the reference's eps=1e-13 the DENSE Cholesky
+    # (condition ~1e13) is the inaccurate side — the closed form is exact.
+    eps, cov = 0.05, 0.9
+    sigma_u = jnp.asarray(generate_sigma_u(COUNTS, eps=eps, cov=cov))
+    n = sigma_u.shape[0]
+    seg = segment_ids_from_counts(COUNTS)
+    rng = np.random.default_rng(0)
+    scale = 0.37
+    for i in range(3):
+        y = jnp.asarray(rng.normal(size=n))
+        want = float(mvn_logpdf(y, sigma_u * scale))
+        got = float(sigma_u_logpdf(y, seg, COUNTS, scale, eps=eps, cov=cov))
+        assert got == pytest.approx(want, rel=1e-11)
+    # stacked form
+    ys = jnp.asarray(rng.normal(size=(4, n)))
+    got = sigma_u_logpdf(ys, seg, COUNTS, scale, eps=eps, cov=cov)
+    want = jnp.stack([mvn_logpdf(ys[i], sigma_u * scale) for i in range(4)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-11)
+
+
+def test_sigma_u_logpdf_singleton_and_uniform_blocks():
+    # Edge shapes: all-singleton objects (SigmaU = (1+eps) I) and one big block.
+    eps, cov = 0.1, 0.8
+    rng = np.random.default_rng(1)
+    for counts in ([1, 1, 1, 1], [6]):
+        sigma_u = jnp.asarray(generate_sigma_u(counts, eps=eps, cov=cov))
+        n = sigma_u.shape[0]
+        seg = segment_ids_from_counts(counts)
+        y = jnp.asarray(rng.normal(size=n))
+        want = float(mvn_logpdf(y, sigma_u * 1.4))
+        got = float(sigma_u_logpdf(y, seg, counts, 1.4, eps=eps, cov=cov))
+        assert got == pytest.approx(want, rel=1e-11)
+
+
+def test_sigma_u_sample_covariance():
+    seg = segment_ids_from_counts(COUNTS)
+    scale = 0.8
+    draws = jax.vmap(
+        lambda k: sigma_u_sample(k, seg, COUNTS, scale)
+    )(jax.random.split(jax.random.key(1), 60000))
+    emp = np.cov(np.asarray(draws).T)
+    want = np.asarray(generate_sigma_u(COUNTS)) * scale
+    np.testing.assert_allclose(emp, want, atol=0.02)
+
+
+def test_run_mcmc_large_n_matches_dense_log_joint():
+    # uneven N (exercises sentinel padding: 52 -> 64 with block=8 x 8 devices)
+    counts = [13, 7, 20, 12]
+    n = sum(counts)
+    rng = np.random.default_rng(2)
+    t = rng.normal(size=n)
+    y = 0.7 * t + rng.normal(size=n) * 0.3
+    hp = default_hyperparameters().replace(
+        n_outer=3, n_mh_inner=2, n_es_inner=2, n_chains=1, n_burn_in=1
+    )
+    samples, stats, final = run_mcmc_large_n(
+        jax.random.key(3), t, y, counts, n_u=1, hp=hp, mesh=n_mesh(8), block=8
+    )
+    samples, stats, final = jax.tree.map(np.asarray, (samples, stats, final))
+
+    # shapes + movement (the reference's stuck-chain criterion,
+    # test/inference.jl:9-28)
+    assert samples.u.shape == (3, n, 1)
+    assert len(np.unique(samples.ty_ls)) > 1
+    assert np.all(np.isfinite(stats.log_joint))
+
+    # cross-check the sharded log-joint against the DENSE engine's block
+    # densities at the final state
+    from causalgpslc_tpu.models import blocks
+
+    spec = ModelSpec(n=n, n_u=1, n_x=None, binary_t=False)
+    sigma_u = jnp.asarray(generate_sigma_u(counts))
+    data = ModelData(
+        t=jnp.asarray(t), y=jnp.asarray(y), x=None, sigma_u=sigma_u
+    )
+    params = jax.tree.map(jnp.asarray, final)
+    from causalgpslc_tpu.ops.structured import sigma_u_logpdf as su_lp
+
+    lpu_struct = float(
+        jnp.sum(
+            su_lp(
+                params.u.T,
+                segment_ids_from_counts(counts),
+                tuple(counts),
+                params.u_noise,
+            )
+        )
+    )
+    want_ty = float(
+        blocks.logp_t_gp(spec, data, params) + blocks.logp_y(spec, data, params)
+    )
+    # sharded T+Y densities match dense to machine precision
+    assert float(stats.log_joint[-1]) - lpu_struct == pytest.approx(want_ty, rel=1e-11)
+    # dense logp_u factorizes SigmaU at condition ~1e13 (eps=1e-13): it only
+    # agrees with the exact Sherman-Morrison form to its own rounding error
+    assert lpu_struct == pytest.approx(float(blocks.logp_u(spec, data, params)), rel=1e-3)
+
+
+def test_run_mcmc_large_n_reproducible():
+    counts = [8, 8, 16]
+    n = sum(counts)
+    rng = np.random.default_rng(4)
+    t = rng.normal(size=n)
+    y = rng.normal(size=n)
+    hp = default_hyperparameters().replace(n_outer=2, n_mh_inner=1, n_es_inner=1, n_burn_in=1)
+    out1 = run_mcmc_large_n(jax.random.key(5), t, y, counts, hp=hp, mesh=n_mesh(8), block=4)
+    out2 = run_mcmc_large_n(jax.random.key(5), t, y, counts, hp=hp, mesh=n_mesh(8), block=4)
+    for a, b in zip(jax.tree.leaves(out1), jax.tree.leaves(out2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
