@@ -65,8 +65,9 @@ __all__ = [
 NB = 128  # panel width: MXU tile edge
 # matrices per Pallas program in the base-case kernel; the working set is
 # ~5x tile x 64 KB (input + output + panel/trailing copies) and must stay
-# under the 16 MB scoped-vmem limit (tile 64 OOMs at 19.9 MB).
-_BASE_TILE = 32
+# under the 16 MB scoped-vmem limit (tile 64 OOMs at 19.9 MB; tile 32
+# measured 17.11 MB on the 2026-08 compiler — tile 16 keeps ~8.6 MB).
+_BASE_TILE = 16
 
 
 # ---------------------------------------------------------------------------
