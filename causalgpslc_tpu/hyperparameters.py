@@ -54,6 +54,16 @@ class HyperParameters:
     # for the same posterior; default False preserves the reference's
     # site-by-site sweep semantics.
     mh_block_sweep: bool = False
+    # Heavy-jump mixture proposal (new capability): with probability
+    # ``mh_wide_prob`` a site's drift variance is ``mh_wide_drift`` instead of
+    # the narrow drift. For wide variance >> cur^2 the moment-matched InvGamma
+    # approaches shape 2 — a multiplicative ~0.3x-5x jump — which is what lets
+    # lengthscale sites traverse their flat posterior plateaus (the frozen
+    # tyLS failure mode; BASELINE.md). Exact mixture density on both sides of
+    # the Hastings ratio, so the kernel stays exact. None = off (reference
+    # single-component proposal).
+    mh_wide_drift: Optional[float] = None
+    mh_wide_prob: float = 0.2
 
     def __post_init__(self):
         if self.n_outer < 1:

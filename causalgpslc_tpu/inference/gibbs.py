@@ -66,7 +66,9 @@ def _uses_logit_ess(spec: ModelSpec) -> bool:
 def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
     """Build the jittable single-chain outer step ``(params, data, key) -> (params, stats)``."""
     use_blocked = hp.mh_block_sweep
-    sweep_fn = mh_blocked_sweep if use_blocked else mh_sweep
+    wide = (hp.mh_wide_drift, hp.mh_wide_prob) if hp.mh_wide_drift else None
+    base_sweep = mh_blocked_sweep if use_blocked else mh_sweep
+    sweep_fn = partial(base_sweep, wide=wide)
     n_moves = len(block_sites(spec)) if use_blocked else len(sweep_moves(spec))
     n_mh_inner = hp.n_mh_inner if (_has_mh_inner_loop(spec) and hp.n_mh_inner) else 1
     n_es_inner = hp.n_es_inner if hp.n_es_inner else 0

@@ -103,11 +103,14 @@ def mh_move(
     field: str,
     idx: Optional[tuple],
     drift=None,
+    wide=None,
 ):
     """One single-site MH move; returns (params, lps, accepted).
 
     ``drift``: proposal variance for this move; defaults to the global
     ``priors["drift"]`` (reference behavior, ``src/proposal.jl``).
+    ``wide``: optional ``(variance_wide, prob_wide)`` heavy-jump mixture
+    component (see ``proposal.py``).
     """
     if drift is None:
         drift = priors["drift"]
@@ -118,7 +121,7 @@ def mh_move(
     cur = cur_arr[idx] if idx is not None else cur_arr
 
     k_prop, k_acc = jax.random.split(key)
-    prop = propose(k_prop, cur, drift)
+    prop = propose(k_prop, cur, drift, wide)
     new_arr = cur_arr.at[idx].set(prop) if idx is not None else prop
     new_params = params._replace(**{field: new_arr})
 
@@ -130,7 +133,7 @@ def mh_move(
     log_alpha = (
         (new_lp - cur_lp)
         + (inv_gamma_logpdf(prop, prior_shape, prior_scale) - inv_gamma_logpdf(cur, prior_shape, prior_scale))
-        + (proposal_logpdf(cur, prop, drift) - proposal_logpdf(prop, cur, drift))
+        + (proposal_logpdf(cur, prop, drift, wide) - proposal_logpdf(prop, cur, drift, wide))
     )
     log_u = jnp.log(jax.random.uniform(k_acc, dtype=cur.dtype))
     accept = (log_u < log_alpha) & jnp.isfinite(new_lp)
@@ -154,6 +157,7 @@ def mh_sweep(
     params: GPSLCParams,
     lps: BlockLps,
     drifts=None,
+    wide=None,
 ):
     """One full MH sweep over every hyperparameter site (reference order).
 
@@ -168,7 +172,7 @@ def mh_sweep(
     for i, (field, idx) in enumerate(moves):
         drift = None if drifts is None else drifts[i]
         params, lps, acc = mh_move(
-            jax.random.fold_in(key, i), spec, priors, data, params, lps, field, idx, drift
+            jax.random.fold_in(key, i), spec, priors, data, params, lps, field, idx, drift, wide
         )
         accepts.append(acc)
     return params, lps, jnp.stack(accepts).astype(data.y.dtype)
@@ -225,13 +229,13 @@ def block_sites(spec: ModelSpec) -> dict:
     return {b: s for b, s in blocks.items() if s}
 
 
-def _per_site_delta(field, cur, prop, priors, drift):
+def _per_site_delta(field, cur, prop, priors, drift, wide=None):
     """Prior + proposal-correction log-ratio for one site, elementwise."""
     stem = FIELD_PRIOR_NAMES[field]
     pr = inv_gamma_logpdf(prop, priors[stem + "Shape"], priors[stem + "Scale"]) - inv_gamma_logpdf(
         cur, priors[stem + "Shape"], priors[stem + "Scale"]
     )
-    q = proposal_logpdf(cur, prop, drift) - proposal_logpdf(prop, cur, drift)
+    q = proposal_logpdf(cur, prop, drift, wide) - proposal_logpdf(prop, cur, drift, wide)
     return pr + q
 
 
@@ -243,11 +247,13 @@ def mh_blocked_sweep(
     params: GPSLCParams,
     lps: BlockLps,
     drifts=None,
+    wide=None,
 ):
     """One blocked sweep; returns (params, lps, per-block accepts).
 
     ``drifts``: optional per-block proposal variances, ordered as
     ``block_sites`` keys; ``None`` uses ``priors["drift"]``.
+    ``wide``: optional ``(variance_wide, prob_wide)`` heavy-jump mixture.
 
     All blocks are proposed up front (disjoint site sets, so one combined
     proposal pytree evaluates every block at its own proposal), their
@@ -272,9 +278,9 @@ def mh_blocked_sweep(
         delta = jnp.zeros((spec.n_x,) if block == "x" else (), dtype=dtype)
         for i, field in enumerate(sites):
             cur = getattr(params, field)
-            prop = propose(jax.random.fold_in(k_prop, i), cur, drift)
+            prop = propose(jax.random.fold_in(k_prop, i), cur, drift, wide)
             prop_params = prop_params._replace(**{field: prop})
-            d = _per_site_delta(field, cur, prop, priors, drift)
+            d = _per_site_delta(field, cur, prop, priors, drift, wide)
             if block == "x":
                 # per-covariate decomposition (leading axis is k)
                 delta = delta + (d.reshape(spec.n_x, -1).sum(axis=-1) if d.ndim > 1 else d)

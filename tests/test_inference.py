@@ -152,6 +152,83 @@ def test_invgamma_mh_preserves_invgamma_target():
     assert draws.var() == pytest.approx(8.0 / 9.0, rel=0.25)
 
 
+def test_wide_mixture_mh_preserves_invgamma_target():
+    """The heavy-jump mixture proposal with the exact mixture density in the
+    Hastings ratio must leave the target invariant (same check as above)."""
+    from causalgpslc_tpu.ops.distributions import inv_gamma_logpdf
+    from causalgpslc_tpu.inference.proposal import propose, proposal_logpdf
+
+    shape, scale, drift, wide = 4.0, 4.0, 0.5, (50.0, 0.3)
+
+    def step(x, key):
+        k1, k2 = jax.random.split(key)
+        prop = propose(k1, x, drift, wide)
+        log_alpha = (
+            inv_gamma_logpdf(prop, shape, scale)
+            - inv_gamma_logpdf(x, shape, scale)
+            + proposal_logpdf(x, prop, drift, wide)
+            - proposal_logpdf(prop, x, drift, wide)
+        )
+        accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) < log_alpha
+        return jnp.where(accept, prop, x), x
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 60000)
+    _, draws = jax.lax.scan(step, jnp.asarray(1.0), keys)
+    draws = np.asarray(draws)[5000:]
+    assert draws.mean() == pytest.approx(4.0 / 3.0, rel=0.05)
+    assert draws.var() == pytest.approx(8.0 / 9.0, rel=0.25)
+
+
+def test_wide_mixture_proposal_density_normalized():
+    """The mixture log-density must integrate to 1 and reduce to the narrow
+    density at prob_wide -> 0."""
+    from causalgpslc_tpu.inference.proposal import proposal_logpdf
+
+    center, drift, wide = 1.3, 0.5, (50.0, 0.25)
+    x = jnp.linspace(1e-4, 400.0, 400001)
+    dens = jnp.exp(proposal_logpdf(x, jnp.asarray(center), drift, wide))
+    assert float(jnp.trapezoid(dens, x)) == pytest.approx(1.0, abs=5e-3)
+    lp0 = proposal_logpdf(jnp.asarray(0.9), jnp.asarray(center), drift, (50.0, 1e-12))
+    lp_narrow = proposal_logpdf(jnp.asarray(0.9), jnp.asarray(center), drift)
+    assert float(lp0) == pytest.approx(float(lp_narrow), abs=1e-6)
+
+
+def test_wide_mixture_traverses_flat_plateau():
+    """On a target that is flat over [1, 60] (log-uniform-ish plateau), the
+    narrow drift walk stays near its start while the mixture jumps across.
+
+    This is the tyLS failure mode: BASELINE.md measured tyLS ESS pinned at
+    ~1.5/chain with the reference's fixed drift=0.5."""
+    from causalgpslc_tpu.inference.proposal import propose, proposal_logpdf
+
+    def logtarget(x):  # smooth plateau on [1, 60], falls off outside
+        return -0.5 * (jnp.log(x) - jnp.clip(jnp.log(x), 0.0, jnp.log(60.0))) ** 2 / 0.01
+
+    def chain(wide, n=4000):
+        def step(x, key):
+            k1, k2 = jax.random.split(key)
+            prop = propose(k1, x, 0.5, wide)
+            log_alpha = (
+                logtarget(prop)
+                - logtarget(x)
+                + proposal_logpdf(x, prop, 0.5, wide)
+                - proposal_logpdf(prop, x, 0.5, wide)
+            )
+            accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) < log_alpha
+            return jnp.where(accept, prop, x), x
+
+        keys = jax.random.split(jax.random.PRNGKey(11), n)
+        _, draws = jax.lax.scan(step, jnp.asarray(2.0), keys)
+        return np.asarray(draws)
+
+    narrow = chain(None)
+    mixed = chain((50.0, 0.3))
+    # the plateau is ~uniform in log x over [0, log 60]; a mixing chain's
+    # log-draws should cover most of that range, a frozen one only a sliver
+    assert np.ptp(np.log(mixed)) > 0.8 * np.log(60.0)
+    assert np.ptp(np.log(mixed)) > 1.5 * np.ptp(np.log(narrow[:500]))
+
+
 def test_adaptive_proposals_reach_target_acceptance():
     """With adaptation on, per-site acceptance converges toward target_accept
     during burn-in and drifts freeze afterwards (kernel stays Markov)."""
