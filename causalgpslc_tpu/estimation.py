@@ -28,6 +28,8 @@ from .ops.kernels import process_cov, rbf_kernel_log
 from .ops.linalg import add_jitter, chol_solve, safe_cholesky, symmetrize
 
 __all__ = [
+    "likelihood_distribution",
+    "extract_parameters",
     "conditional_ite",
     "conditional_counterfactual_outcome",
     "counterfactual_outcome_distributions",
@@ -51,19 +53,11 @@ def _y_kernel_log_parts(spec: ModelSpec, data: ModelData, params: GPSLCParams):
     return base
 
 
-def conditional_ite(
-    spec: ModelSpec,
-    data: ModelData,
-    params: GPSLCParams,
-    do_t,
-):
-    """Closed-form GP counterfactual: mean and covariance of ``f* - f | Y``.
+def _conditioning_blocks(spec: ModelSpec, data: ModelData, params: GPSLCParams, do_t):
+    """Kernel blocks + factorization shared by all conditioning entry points.
 
-    Mirrors ``conditionalITE`` (``src/estimation.jl:36-50``) on top of the
-    conditioning blocks of ``likelihoodDistribution`` (``src/likelihood.jl``):
-
-        MeanITE = (K(W,W*)' - K(W,W)) (K(W,W) + yNoise I)^-1 Y
-        CovITE  = C11 - C12 - C21 + C22
+    Returns ``(cov_ww, cov_wws, cov_wsws, chol(cov_wwp), c11, c12, c21, c22)``
+    following the ``C - C (CovWWp \\ C)`` pattern of ``src/likelihood.jl:42-49``.
     """
     dtype = data.y.dtype
     # Intervention may be scalar (set everyone) or per-individual vector,
@@ -80,16 +74,64 @@ def conditional_ite(
     cov_ww = process_cov(base_log + ty_log, y_scale)
     cov_wws = process_cov(base_log + ty_log_s, y_scale)
     cov_wsws = process_cov(base_log + ty_log_ss, y_scale)
-    cov_wwp_chol = safe_cholesky(add_jitter(cov_ww, params.y_noise))
+    chol = safe_cholesky(add_jitter(cov_ww, params.y_noise))
 
-    a1 = chol_solve(cov_wwp_chol, cov_ww)  # (CovWWp \ CovWW)
-    a2 = chol_solve(cov_wwp_chol, cov_wws)  # (CovWWp \ CovWWs)
-
-    mean_ite = (cov_wws.T - cov_ww) @ chol_solve(cov_wwp_chol, data.y)
+    a1 = chol_solve(chol, cov_ww)  # (CovWWp \ CovWW)
+    a2 = chol_solve(chol, cov_wws)  # (CovWWp \ CovWWs)
     c11 = cov_ww - cov_ww @ a1
     c12 = cov_wws - cov_ww @ a2
     c21 = cov_wws.T - cov_wws.T @ a1
     c22 = cov_wsws - cov_wws.T @ a2
+    return cov_ww, cov_wws, cov_wsws, chol, c11, c12, c21, c22
+
+
+def likelihood_distribution(spec: ModelSpec, data: ModelData, params: GPSLCParams, do_t):
+    """The GP conditioning matrices of ``likelihoodDistribution``
+    (``src/likelihood.jl:8-52`` and its 3 no-U/no-X dispatches, collapsed into
+    one spec-driven function): returns
+    ``(Y, CovWW, CovWWs, CovWsWs, CovC11, CovC12, CovC21, CovC22)``.
+
+    The reference rebuilds these matrices inside every ``conditionalITE``
+    call; here they are also the shared core of :func:`conditional_ite` and
+    :func:`conditional_counterfactual_outcome` (one Cholesky, batched under
+    ``vmap``).
+    """
+    cov_ww, cov_wws, cov_wsws, _, c11, c12, c21, c22 = _conditioning_blocks(
+        spec, data, params, do_t
+    )
+    return data.y, cov_ww, cov_wws, cov_wsws, c11, c12, c21, c22
+
+
+def extract_parameters(samples: GPSLCParams, i: int) -> GPSLCParams:
+    """The i-th posterior sample's parameter pytree.
+
+    Parity with ``extractParameters(g, i)`` (``src/utils.jl:92-124``), which
+    pulls ``uyLS, xyLS, tyLS, yNoise, yScale, U`` out of the i-th choicemap.
+    Here posterior samples are a stacked pytree (leading axis = retained
+    samples), so extraction is one indexed ``tree.map`` — no address book.
+    Accepts the stacked pytree from ``GPSLCObject.retained_samples()``.
+    """
+    return jax.tree.map(lambda leaf: leaf[i], samples)
+
+
+def conditional_ite(
+    spec: ModelSpec,
+    data: ModelData,
+    params: GPSLCParams,
+    do_t,
+):
+    """Closed-form GP counterfactual: mean and covariance of ``f* - f | Y``.
+
+    Mirrors ``conditionalITE`` (``src/estimation.jl:36-50``) on top of the
+    conditioning blocks of ``likelihoodDistribution`` (``src/likelihood.jl``):
+
+        MeanITE = (K(W,W*)' - K(W,W)) (K(W,W) + yNoise I)^-1 Y
+        CovITE  = C11 - C12 - C21 + C22
+    """
+    cov_ww, cov_wws, _, chol, c11, c12, c21, c22 = _conditioning_blocks(
+        spec, data, params, do_t
+    )
+    mean_ite = (cov_wws.T - cov_ww) @ chol_solve(chol, data.y)
     cov_ite = c11 - c12 - c21 + c22
     return mean_ite, cov_ite
 
@@ -144,22 +186,8 @@ def conditional_counterfactual_outcome(
 
         mean = K(W,W*)' (K(W,W) + yNoise I)^-1 Y,   cov = C22.
     """
-    dtype = data.y.dtype
-    do_vec = jnp.broadcast_to(jnp.asarray(do_t, dtype=dtype), (spec.n,))
-
-    base_log = _y_kernel_log_parts(spec, data, params)
-    ty_log = rbf_kernel_log(data.t, data.t, params.ty_ls)
-    ty_log_s = rbf_kernel_log(data.t, do_vec, params.ty_ls)
-    ty_log_ss = rbf_kernel_log(do_vec, do_vec, params.ty_ls)
-
-    y_scale = params.y_scale
-    cov_ww = process_cov(base_log + ty_log, y_scale)
-    cov_wws = process_cov(base_log + ty_log_s, y_scale)
-    cov_wsws = process_cov(base_log + ty_log_ss, y_scale)
-    chol = safe_cholesky(add_jitter(cov_ww, params.y_noise))
-
+    _, cov_wws, _, chol, _, _, _, c22 = _conditioning_blocks(spec, data, params, do_t)
     mean_cf = cov_wws.T @ chol_solve(chol, data.y)
-    c22 = cov_wsws - cov_wws.T @ chol_solve(chol, cov_wws)
     return mean_cf, c22
 
 

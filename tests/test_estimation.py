@@ -163,3 +163,41 @@ def test_sample_counterfactual_outcomes_api(tmp_path):
     ycf = cg.sample_counterfactual_outcomes(g, 0.5, samples_per_posterior=3)
     assert ycf.shape == (g.n, g.num_posterior_samples * 3)
     assert np.isfinite(ycf).all()
+
+
+@pytest.mark.parametrize("has_u,has_x", VARIANTS)
+def test_likelihood_distribution_blocks(has_u, has_x):
+    """likelihoodDistribution parity (src/likelihood.jl:8-52): block identities.
+
+    With doT == T every block pair collapses (CovWWs == CovWW etc.), and the
+    conditional blocks must equal the C - C (CovWWp \\ C) pattern computed
+    independently with numpy.
+    """
+    spec, data, params = make_case(has_u, has_x)
+    y, ww, wws, wsws, c11, c12, c21, c22 = estimation.likelihood_distribution(
+        spec, data, params, DO_T
+    )
+    np.testing.assert_allclose(y, data.y)
+    np.testing.assert_allclose(wws, ww, atol=1e-12)
+    np.testing.assert_allclose(wsws, ww, atol=1e-12)
+    # independent numpy check of one block
+    wwp = np.asarray(ww) + float(params.y_noise) * np.eye(spec.n)
+    expected_c11 = np.asarray(ww) - np.asarray(ww) @ np.linalg.solve(wwp, np.asarray(ww))
+    np.testing.assert_allclose(c11, expected_c11, atol=1e-8)
+    for blk in (c12, c21, c22):
+        np.testing.assert_allclose(blk, expected_c11, atol=1e-8)
+
+
+def test_extract_parameters_indexes_stacked_pytree():
+    """extractParameters parity (src/utils.jl:92-124) on a stacked pytree."""
+    spec, data, params = make_case(True, True)
+    stacked = jax.tree.map(lambda leaf: jnp.stack([leaf, 2 * leaf]), params)
+    p1 = estimation.extract_parameters(stacked, 1)
+    np.testing.assert_allclose(p1.ty_ls, 2 * params.ty_ls)
+    np.testing.assert_allclose(p1.u, 2 * params.u)
+    mean_a, cov_a = estimation.conditional_ite(spec, data, p1, DO_T)
+    mean_b, cov_b = estimation.conditional_ite(
+        spec, data, jax.tree.map(lambda l: 2 * l, params), DO_T
+    )
+    np.testing.assert_allclose(mean_a, mean_b)
+    np.testing.assert_allclose(cov_a, cov_b)
