@@ -53,11 +53,13 @@ def _y_kernel_log_parts(spec: ModelSpec, data: ModelData, params: GPSLCParams):
     return base
 
 
-def _conditioning_blocks(spec: ModelSpec, data: ModelData, params: GPSLCParams, do_t):
-    """Kernel blocks + factorization shared by all conditioning entry points.
+def _conditioning_core(spec: ModelSpec, data: ModelData, params: GPSLCParams, do_t):
+    """Covariance blocks + factorization shared by all conditioning entry
+    points: ``(cov_ww, cov_wws, cov_wsws, cov_wwp, chol(cov_wwp))``.
 
-    Returns ``(cov_ww, cov_wws, cov_wsws, chol(cov_wwp), c11, c12, c21, c22)``
-    following the ``C - C (CovWWp \\ C)`` pattern of ``src/likelihood.jl:42-49``.
+    The C-conditional blocks are NOT computed here — each caller derives only
+    the ones it needs (:func:`_c_blocks` / :func:`conditional_counterfactual_outcome`),
+    so eager callers don't pay for solves XLA would otherwise dead-code-eliminate.
     """
     dtype = data.y.dtype
     # Intervention may be scalar (set everyone) or per-individual vector,
@@ -74,32 +76,42 @@ def _conditioning_blocks(spec: ModelSpec, data: ModelData, params: GPSLCParams, 
     cov_ww = process_cov(base_log + ty_log, y_scale)
     cov_wws = process_cov(base_log + ty_log_s, y_scale)
     cov_wsws = process_cov(base_log + ty_log_ss, y_scale)
-    chol = safe_cholesky(add_jitter(cov_ww, params.y_noise))
+    cov_wwp = add_jitter(cov_ww, params.y_noise)  # CovWW + yNoise I (src/likelihood.jl:31)
+    chol = safe_cholesky(cov_wwp)
+    return cov_ww, cov_wws, cov_wsws, cov_wwp, chol
 
+
+def _c_blocks(cov_ww, cov_wws, cov_wsws, chol):
+    """The 2x2 conditional-covariance blocks, the ``C - C (CovWWp \\ C)``
+    pattern of ``src/likelihood.jl:42-49``."""
     a1 = chol_solve(chol, cov_ww)  # (CovWWp \ CovWW)
     a2 = chol_solve(chol, cov_wws)  # (CovWWp \ CovWWs)
     c11 = cov_ww - cov_ww @ a1
     c12 = cov_wws - cov_ww @ a2
     c21 = cov_wws.T - cov_wws.T @ a1
     c22 = cov_wsws - cov_wws.T @ a2
-    return cov_ww, cov_wws, cov_wsws, chol, c11, c12, c21, c22
+    return c11, c12, c21, c22
 
 
 def likelihood_distribution(spec: ModelSpec, data: ModelData, params: GPSLCParams, do_t):
     """The GP conditioning matrices of ``likelihoodDistribution``
     (``src/likelihood.jl:8-52`` and its 3 no-U/no-X dispatches, collapsed into
-    one spec-driven function): returns
-    ``(Y, CovWW, CovWWs, CovWsWs, CovC11, CovC12, CovC21, CovC22)``.
+    one spec-driven function). Returns the reference's tuple, slot-for-slot:
+    ``(Y, CovWW, CovWWs, CovWWp, CovC11, CovC12, CovC21, CovC22)`` with
+    ``CovWWp = CovWW + yNoise*I`` in slot 4 exactly as the reference returns
+    it, so ported downstream code (e.g. ``MeanITE = (CovWWs' - CovWW) *
+    (CovWWp \\ Y)``) works unchanged.
 
     The reference rebuilds these matrices inside every ``conditionalITE``
     call; here they are also the shared core of :func:`conditional_ite` and
     :func:`conditional_counterfactual_outcome` (one Cholesky, batched under
     ``vmap``).
     """
-    cov_ww, cov_wws, cov_wsws, _, c11, c12, c21, c22 = _conditioning_blocks(
+    cov_ww, cov_wws, cov_wsws, cov_wwp, chol = _conditioning_core(
         spec, data, params, do_t
     )
-    return data.y, cov_ww, cov_wws, cov_wsws, c11, c12, c21, c22
+    c11, c12, c21, c22 = _c_blocks(cov_ww, cov_wws, cov_wsws, chol)
+    return data.y, cov_ww, cov_wws, cov_wwp, c11, c12, c21, c22
 
 
 def extract_parameters(samples: GPSLCParams, i: int) -> GPSLCParams:
@@ -128,9 +140,8 @@ def conditional_ite(
         MeanITE = (K(W,W*)' - K(W,W)) (K(W,W) + yNoise I)^-1 Y
         CovITE  = C11 - C12 - C21 + C22
     """
-    cov_ww, cov_wws, _, chol, c11, c12, c21, c22 = _conditioning_blocks(
-        spec, data, params, do_t
-    )
+    cov_ww, cov_wws, cov_wsws, _, chol = _conditioning_core(spec, data, params, do_t)
+    c11, c12, c21, c22 = _c_blocks(cov_ww, cov_wws, cov_wsws, chol)
     mean_ite = (cov_wws.T - cov_ww) @ chol_solve(chol, data.y)
     cov_ite = c11 - c12 - c21 + c22
     return mean_ite, cov_ite
@@ -186,7 +197,9 @@ def conditional_counterfactual_outcome(
 
         mean = K(W,W*)' (K(W,W) + yNoise I)^-1 Y,   cov = C22.
     """
-    _, cov_wws, _, chol, _, _, _, c22 = _conditioning_blocks(spec, data, params, do_t)
+    _, cov_wws, cov_wsws, _, chol = _conditioning_core(spec, data, params, do_t)
+    # only the C22 block is needed: one solve, not the full 2x2 block set
+    c22 = cov_wsws - cov_wws.T @ chol_solve(chol, cov_wws)
     mean_cf = cov_wws.T @ chol_solve(chol, data.y)
     return mean_cf, c22
 

@@ -174,18 +174,74 @@ def test_likelihood_distribution_blocks(has_u, has_x):
     independently with numpy.
     """
     spec, data, params = make_case(has_u, has_x)
-    y, ww, wws, wsws, c11, c12, c21, c22 = estimation.likelihood_distribution(
+    y, ww, wws, wwp, c11, c12, c21, c22 = estimation.likelihood_distribution(
         spec, data, params, DO_T
     )
     np.testing.assert_allclose(y, data.y)
     np.testing.assert_allclose(wws, ww, atol=1e-12)
-    np.testing.assert_allclose(wsws, ww, atol=1e-12)
+    # slot 4 is CovWWp = CovWW + yNoise*I, matching the reference tuple
+    np.testing.assert_allclose(
+        wwp, np.asarray(ww) + float(params.y_noise) * np.eye(spec.n), atol=1e-12
+    )
     # independent numpy check of one block
-    wwp = np.asarray(ww) + float(params.y_noise) * np.eye(spec.n)
-    expected_c11 = np.asarray(ww) - np.asarray(ww) @ np.linalg.solve(wwp, np.asarray(ww))
+    wwp_np = np.asarray(ww) + float(params.y_noise) * np.eye(spec.n)
+    expected_c11 = np.asarray(ww) - np.asarray(ww) @ np.linalg.solve(wwp_np, np.asarray(ww))
     np.testing.assert_allclose(c11, expected_c11, atol=1e-8)
     for blk in (c12, c21, c22):
         np.testing.assert_allclose(blk, expected_c11, atol=1e-8)
+
+
+@pytest.mark.parametrize("has_u,has_x", VARIANTS)
+def test_likelihood_distribution_blocks_heterogeneous(has_u, has_x):
+    """Non-degenerate case (doT != T elementwise): every block checked against
+    an independent numpy computation; catches c12/c21 swaps and cov_wws
+    transposition bugs the doT == T case cannot see."""
+    spec, data, params = make_case(has_u, has_x)
+    rng = np.random.default_rng(11)
+    t = jnp.asarray(rng.normal(size=spec.n))
+    data = data._replace(t=t)
+    do_t = 1.7
+
+    y, ww, wws, wwp, c11, c12, c21, c22 = estimation.likelihood_distribution(
+        spec, data, params, do_t
+    )
+
+    # independent numpy reconstruction of the kernel blocks
+    def np_rbf_log(a, b, ls):
+        a, b = np.atleast_2d(np.asarray(a).T).T.reshape(spec.n, -1), np.atleast_2d(
+            np.asarray(b).T
+        ).T.reshape(spec.n, -1)
+        ls = np.broadcast_to(np.asarray(ls, dtype=float), (a.shape[1],))
+        d = (a[:, None, :] - b[None, :, :]) / ls
+        return -(d**2).sum(-1)
+
+    base = np.zeros((spec.n, spec.n))
+    if has_u:
+        base = base + np_rbf_log(params.u, params.u, params.uy_ls)
+    if has_x:
+        base = base + np_rbf_log(data.x, data.x, params.xy_ls)
+    tv, dv = np.asarray(t), np.full(spec.n, do_t)
+    scale, noise = float(params.y_scale), float(params.y_noise)
+    ww_np = np.exp(base + np_rbf_log(tv, tv, params.ty_ls)) * scale
+    wws_np = np.exp(base + np_rbf_log(tv, dv, params.ty_ls)) * scale
+    wsws_np = np.exp(base + np_rbf_log(dv, dv, params.ty_ls)) * scale
+    wwp_np = ww_np + noise * np.eye(spec.n)
+
+    np.testing.assert_allclose(ww, ww_np, atol=1e-10)
+    np.testing.assert_allclose(wws, wws_np, atol=1e-10)
+    np.testing.assert_allclose(wwp, wwp_np, atol=1e-10)
+
+    solve = np.linalg.solve
+    np.testing.assert_allclose(c11, ww_np - ww_np @ solve(wwp_np, ww_np), atol=1e-8)
+    np.testing.assert_allclose(c12, wws_np - ww_np @ solve(wwp_np, wws_np), atol=1e-8)
+    np.testing.assert_allclose(c21, wws_np.T - wws_np.T @ solve(wwp_np, ww_np), atol=1e-8)
+    np.testing.assert_allclose(c22, wsws_np - wws_np.T @ solve(wwp_np, wws_np), atol=1e-8)
+    # block structure: C12 == C21.T for a symmetric joint covariance
+    np.testing.assert_allclose(np.asarray(c12), np.asarray(c21).T, atol=1e-8)
+    # reference downstream recipe works off the returned tuple directly
+    mean_ite_ref = (wws_np.T - ww_np) @ solve(wwp_np, np.asarray(y))
+    mean_ite, _ = estimation.conditional_ite(spec, data, params, do_t)
+    np.testing.assert_allclose(mean_ite, mean_ite_ref, atol=1e-8)
 
 
 def test_extract_parameters_indexes_stacked_pytree():
