@@ -66,11 +66,12 @@ def main():
         n_u=1,
         n_outer=N_OUTER,
         n_mh_inner=int(os.environ.get("BENCH_MH_INNER", 10)),
-        n_es_inner=5,
+        n_es_inner=int(os.environ.get("BENCH_ES_INNER", 5)),
         n_burn_in=max(1, N_OUTER // 3) if adapt else 1,
         n_chains=N_CHAINS,
         adapt_proposals=adapt,
         mh_block_sweep=blocked,
+        inner_unroll=os.environ.get("BENCH_UNROLL", "1") == "1",
     )
     pp = cg.default_prior_parameters()
     spec, data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)
@@ -110,7 +111,8 @@ def main():
                 "unit": "ess/s",
                 "vs_baseline": round(vs_baseline, 2),
             }
-        )
+        ),
+        flush=True,
     )
 
 

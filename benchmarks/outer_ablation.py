@@ -16,14 +16,19 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import sys
 import time
 
 import numpy as np
 
 ROOT = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(ROOT))
 N = int(os.environ.get("ABL_N", 500))
 CHAINS = int(os.environ.get("ABL_CHAINS", 16))
 REPS = int(os.environ.get("ABL_REPS", 5))
+# "chol,sweep,outer" — outer-step variants each pay a multi-minute remote
+# compile on the axon backend; select parts to keep runs cheap.
+PARTS = set(os.environ.get("ABL_PARTS", "chol,sweep").split(","))
 
 
 def timeit(fn, *args, reps=REPS):
@@ -71,22 +76,22 @@ def main():
     results = {}
 
     # --- 1. stacked Cholesky at sweep batch shape ------------------------
-    n_pad = -(-N // 128) * 128
     b = (1 + 1 + 1) * CHAINS  # u, t, y covs x chains (NoCov variant)
-    a = rng.normal(size=(b, N, 8)).astype(np.float32)
-    cov_np = np.einsum("bik,bjk->bij", a, a) / 8 + 3.0 * np.eye(N, dtype=np.float32)
-    cov = jnp.asarray(cov_np)
+    if "chol" in PARTS:
+        a = rng.normal(size=(b, N, 8)).astype(np.float32)
+        cov_np = np.einsum("bik,bjk->bij", a, a) / 8 + 3.0 * np.eye(N, dtype=np.float32)
+        cov = jnp.asarray(cov_np)
 
-    f_pallas = jax.jit(lambda c: bc.blocked_cholesky(c, use_pallas=True).l)
-    f_xbase = jax.jit(lambda c: bc.blocked_cholesky(c, use_pallas=False).l)
-    f_xla = jax.jit(jnp.linalg.cholesky)
-    results[f"chol_pallas_({b},{N})"] = timeit(f_pallas, cov)
-    results[f"chol_xlabase_({b},{N})"] = timeit(f_xbase, cov)
-    results[f"chol_xla_({b},{N})"] = timeit(f_xla, cov)
+        f_pallas = jax.jit(lambda c: bc.blocked_cholesky(c, use_pallas=True).l)
+        f_xbase = jax.jit(lambda c: bc.blocked_cholesky(c, use_pallas=False).l)
+        f_xla = jax.jit(jnp.linalg.cholesky)
+        results[f"chol_pallas_({b},{N})"] = timeit(f_pallas, cov)
+        results[f"chol_xlabase_({b},{N})"] = timeit(f_xbase, cov)
+        results[f"chol_xla_({b},{N})"] = timeit(f_xla, cov)
 
-    ys = jnp.asarray(rng.normal(size=(b, N)).astype(np.float32))
-    f_loglik = jax.jit(stacked_mvn_logliks)
-    results[f"stacked_logliks_({b},{N})"] = timeit(f_loglik, cov, ys)
+        ys = jnp.asarray(rng.normal(size=(b, N)).astype(np.float32))
+        f_loglik = jax.jit(stacked_mvn_logliks)
+        results[f"stacked_logliks_({b},{N})"] = timeit(f_loglik, cov, ys)
 
     # --- 2. one blocked MH sweep (vmapped over chains) -------------------
     keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)
@@ -95,35 +100,36 @@ def main():
     )(keys)
     lps0 = jax.vmap(lambda p: compute_block_lps(spec, data, p))(params0)
 
-    def one_sweep(key, params, lps):
-        return mh_blocked_sweep(key, spec, pp, data, params, lps)
+    if "sweep" in PARTS:
+        def one_sweep(key, params, lps):
+            return mh_blocked_sweep(key, spec, pp, data, params, lps)
 
-    f_sweep = jax.jit(jax.vmap(one_sweep))
-    results["mh_blocked_sweep_x1"] = timeit(f_sweep, keys, params0, lps0)
+        f_sweep = jax.jit(jax.vmap(one_sweep))
+        results["mh_blocked_sweep_x1"] = timeit(f_sweep, keys, params0, lps0)
+
+        f_lps = jax.jit(jax.vmap(lambda p: compute_block_lps(spec, data, p)))
+        results["compute_block_lps"] = timeit(f_lps, params0)
 
     # --- 3. outer step ablations -----------------------------------------
-    for label, mh, es in [
-        ("outer_mh10_es5", 10, 5),
-        ("outer_mh10_es0", 10, 0),
-        ("outer_mh1_es0", 1, 0),
-        ("outer_mh0skip_es5", None, 5),
-    ]:
-        hp = cg.default_hyperparameters(
-            n_u=1,
-            n_outer=1,
-            n_mh_inner=mh if mh is not None else 1,
-            n_es_inner=es,
-            n_burn_in=1,
-            n_chains=CHAINS,
-            mh_block_sweep=True,
-        )
-        step = make_outer_step(spec, pp, hp)
-        if mh is None:
-            # zero out MH cost by measuring es-only via (mh1,es5) - (mh1,es0)
-            continue
-        f_step = jax.jit(jax.vmap(lambda p, k: step(p, data, k)))
-        ks = jax.random.split(jax.random.PRNGKey(1), CHAINS)
-        results[label] = timeit(f_step, params0, ks)
+    if "outer" in PARTS:
+        for label, mh, es in [
+            ("outer_mh10_es5", 10, 5),
+            ("outer_mh10_es0", 10, 0),
+            ("outer_mh1_es0", 1, 0),
+        ]:
+            hp = cg.default_hyperparameters(
+                n_u=1,
+                n_outer=1,
+                n_mh_inner=mh,
+                n_es_inner=es,
+                n_burn_in=1,
+                n_chains=CHAINS,
+                mh_block_sweep=True,
+            )
+            step = make_outer_step(spec, pp, hp)
+            f_step = jax.jit(jax.vmap(lambda p, k: step(p, data, k)))
+            ks = jax.random.split(jax.random.PRNGKey(1), CHAINS)
+            results[label] = timeit(f_step, params0, ks)
 
     for k, v in results.items():
         print(f"{k:36s} {v * 1e3:9.2f} ms")

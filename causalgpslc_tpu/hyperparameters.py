@@ -54,6 +54,15 @@ class HyperParameters:
     # for the same posterior; default False preserves the reference's
     # site-by-site sweep semantics.
     mh_block_sweep: bool = False
+    # Inner-loop compilation strategy. True (default) statically unrolls the
+    # nMHInner MH sweeps and nESInner ES sweeps into straight-line XLA —
+    # fastest at runtime on the axon backend (While iterations pay a fixed
+    # dispatch quantum; BASELINE.md) but the program duplicates the blocked-
+    # Cholesky graph ~(nMHInner + nESInner) times, making cold remote compiles
+    # take 10-25 min. False rolls both inner loops into lax.fori_loop (body
+    # traced once): ~4-5x faster compiles at a small per-iteration quantum
+    # cost. Identical RNG streams either way.
+    inner_unroll: bool = True
     # Heavy-jump mixture proposal (new capability): with probability
     # ``mh_wide_prob`` a site's drift variance is ``mh_wide_drift`` instead of
     # the narrow drift. For wide variance >> cur^2 the moment-matched InvGamma

@@ -88,13 +88,15 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
             return params, lps, acc + a
 
         carry = (params, lps, jnp.zeros((n_moves,), dtype=dtype))
-        if n_mh_inner <= 16:
+        if hp.inner_unroll and n_mh_inner <= 16:
             # statically unrolled: on the axon backend every XLA While/fori
             # ITERATION pays a fixed dispatch quantum (BASELINE.md), while
             # straight-line chains are free — same RNG stream either way.
             for i in range(n_mh_inner):
                 carry = mh_body(i, carry)
         else:
+            # rolled: body traced once — ~4-5x faster cold compiles at a
+            # per-iteration quantum cost (hp.inner_unroll=False).
             carry = jax.lax.fori_loop(0, n_mh_inner, mh_body, carry)
         params, lps, n_acc = carry
         move_accepts = n_acc / n_mh_inner
@@ -135,12 +137,15 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
             t_chol = dense[len(ess_covs) - 1] if use_logit_ess else None
 
             # cached likelihood components for the U moves
-            x_sum = jnp.sum(lps.x) if lps.x is not None else jnp.zeros((), dtype=dtype)
-            t_lp = lps.t
-            y_lp = lps.y
-            bern_ll = logp_t_bernoulli(spec, data, params) if spec.binary_t else None
+            x_sum0 = jnp.sum(lps.x) if lps.x is not None else jnp.zeros((), dtype=dtype)
+            bern_ll0 = (
+                logp_t_bernoulli(spec, data, params)
+                if spec.binary_t
+                else jnp.zeros((), dtype=dtype)
+            )
 
-            for j in range(n_es_inner):
+            def es_sweep(j, params, x_sum, t_lp, y_lp, bern_ll, ess_iters):
+                """One ES sweep (logitT + each U column); ``j`` may be traced."""
                 kj = jax.random.fold_in(k_ess, j)
 
                 if use_logit_ess:
@@ -184,8 +189,19 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
                         )
                         params = params._replace(u=params.u.at[:, k].set(col_new))
                         ess_iters = ess_iters + it
+                return params, x_sum, t_lp, y_lp, bern_ll, ess_iters
 
-            lps_total = x_sum + t_lp + y_lp + (bern_ll if bern_ll is not None else 0.0)
+            carry = (params, x_sum0, lps.t, lps.y, bern_ll0, ess_iters)
+            if hp.inner_unroll and n_es_inner <= 16:
+                for j in range(n_es_inner):
+                    carry = es_sweep(j, *carry)
+            else:
+                carry = jax.lax.fori_loop(
+                    0, n_es_inner, lambda j, c: es_sweep(j, *c), carry
+                )
+            params, x_sum, t_lp, y_lp, bern_ll, ess_iters = carry
+
+            lps_total = x_sum + t_lp + y_lp + (bern_ll if spec.binary_t else 0.0)
             if lps.u is not None:
                 # U prior term at final state
                 if u_fac is not None:

@@ -284,3 +284,25 @@ def test_blocked_sweep_posterior_consistent_with_reference_sweep():
         b = np.log(np.asarray(getattr(s_blk, field))[:, idx]).ravel()
         se = np.sqrt(a.var() / 40 + b.var() / 40)  # ~independent draw proxy
         assert abs(a.mean() - b.mean()) < 5 * se, (field, a.mean(), b.mean(), se)
+
+
+@pytest.mark.parametrize("binary_t", [False, True])
+def test_inner_unroll_and_fori_bitwise_identical(binary_t):
+    """inner_unroll=False (rolled lax.fori_loop inner loops, the fast-compile
+    mode) must reproduce the unrolled mode's samples bit-for-bit — same RNG
+    fold_in streams, same op order per iteration."""
+    spec, data = make_case(True, True, binary_t)
+    pp = cg.default_prior_parameters()
+    outs = {}
+    for unroll in (True, False):
+        hp = cg.default_hyperparameters(
+            n_u=spec.n_u, n_outer=3, n_mh_inner=3, n_es_inner=3, n_burn_in=1,
+            n_chains=2, mh_block_sweep=True, inner_unroll=unroll,
+        )
+        s, _, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
+        outs[unroll] = s
+    for f in outs[True]._fields:
+        a, b = getattr(outs[True], f), getattr(outs[False], f)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
