@@ -76,6 +76,11 @@ def main():
         # remote compile is several times cheaper (~15 min vs 30-60 min) —
         # and the committed .jax_cache/ blob makes driver reruns ~seconds.
         inner_unroll=os.environ.get("BENCH_UNROLL", "0") == "1",
+        mh_wide_drift=(
+            float(os.environ["BENCH_WIDE_DRIFT"]) if os.environ.get("BENCH_WIDE_DRIFT") else None
+        ),
+        mh_wide_prob=float(os.environ.get("BENCH_WIDE_PROB", 0.2)),
+        ess_spec_batch=int(os.environ.get("BENCH_ESS_SPEC", 1)),
     )
     pp = cg.default_prior_parameters()
     spec, data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)

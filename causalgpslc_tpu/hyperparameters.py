@@ -63,6 +63,14 @@ class HyperParameters:
     # traced once): ~4-5x faster compiles at a small per-iteration quantum
     # cost. Identical RNG streams either way.
     inner_unroll: bool = True
+    # Speculative ESS batching: evaluate this many candidate angles per
+    # elliptical-slice loop round in ONE batched likelihood call (the
+    # angle-shrink recursion depends only on each rejected angle's sign, so
+    # candidates pregenerate from the RNG chain — results are bit-identical
+    # to the sequential loop; inference/ess.py). 1 = sequential. On the axon
+    # backend each sequential round pays a ~10 ms op-latency floor while
+    # batch is nearly free, so 8 collapses the ESS inner loop's wall time.
+    ess_spec_batch: int = 1
     # Heavy-jump mixture proposal (new capability): with probability
     # ``mh_wide_prob`` a site's drift variance is ``mh_wide_drift`` instead of
     # the narrow drift. For wide variance >> cur^2 the moment-matched InvGamma

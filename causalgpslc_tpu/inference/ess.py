@@ -15,6 +15,16 @@ ESS accepts within a handful of shrinks, so the cap (64) is never binding.
 per-component log-likelihood terms; the accepted proposal's aux is returned
 so callers can keep cached block log-likelihoods coherent without
 re-evaluating (the Gibbs loop threads these through consecutive site moves).
+
+Speculative batching (``spec_batch > 1``): the angle-shrinkage recursion
+consumes no likelihood values — a rejected angle shrinks the bracket by its
+*sign* alone — so the next ``K`` candidate angles are computable from the RNG
+chain up front. Each loop round evaluates all ``K`` candidates in ONE batched
+``loglik_fn`` call (on TPU: one stacked Cholesky instead of ``K`` sequential
+ones, amortizing the ~10 ms per-op latency floor; BASELINE.md) and accepts
+the first candidate exceeding the slice level — bit-identical to the
+sequential loop (same RNG chain, same accepted state), just a different
+execution schedule.
 """
 
 from __future__ import annotations
@@ -49,6 +59,7 @@ def ess_update(
     cur_loglik: jax.Array,
     cur_aux=None,
     max_iters: int = 64,
+    spec_batch: int = 1,
 ):
     """One elliptical-slice move for a site with prior ``N(0, L L.T)``.
 
@@ -62,6 +73,9 @@ def ess_update(
       loglik_fn: ``f -> (loglik, aux)`` — likelihood of the site (the joint
         with the prior factored out, what Gen's ``elliptical_slice`` scores).
       cur_loglik / cur_aux: cached ``loglik_fn(f)`` at the current state.
+      spec_batch: >1 evaluates that many speculative candidate angles per
+        loop round in one vmapped ``loglik_fn`` call (bit-identical results;
+        see module docstring). 1 = sequential reference-shaped loop.
 
     Returns:
       ``(f_new, loglik_new, aux_new, n_iters)``.
@@ -78,6 +92,15 @@ def ess_update(
     theta = jax.random.uniform(k_theta, dtype=dtype) * _TWO_PI
     theta_min = theta - _TWO_PI
     theta_max = theta
+
+    if cur_aux is None:
+        cur_aux = jnp.zeros((), dtype=dtype)
+
+    if spec_batch > 1:
+        return _ess_speculative(
+            f, nu, log_y, theta, theta_min, theta_max, k_loop, loglik_fn,
+            cur_loglik, cur_aux, max_iters, int(spec_batch),
+        )
 
     def cond(c: _EssCarry):
         return (~c.accepted) & (c.iters < max_iters)
@@ -99,8 +122,6 @@ def ess_update(
         )
         return _EssCarry(new_theta, new_min, new_max, f_prop, ll, aux, accepted, key, c.iters + 1)
 
-    if cur_aux is None:
-        cur_aux = jnp.zeros((), dtype=dtype)
     init = _EssCarry(
         theta=theta,
         theta_min=theta_min,
@@ -119,3 +140,82 @@ def ess_update(
     ll_new = jnp.where(acc, out.ll_prop, cur_loglik)
     aux_new = jax.tree.map(lambda a, b: jnp.where(acc, a, b), out.aux_prop, cur_aux)
     return f_new, ll_new, aux_new, out.iters
+
+
+class _SpecCarry(NamedTuple):
+    theta: jax.Array  # next candidate to evaluate
+    theta_min: jax.Array
+    theta_max: jax.Array
+    key: jax.Array
+    accepted: jax.Array
+    f_acc: jax.Array
+    ll_acc: jax.Array
+    aux_acc: object
+    iters: jax.Array
+
+
+def _ess_speculative(
+    f, nu, log_y, theta, theta_min, theta_max, k_loop, loglik_fn,
+    cur_loglik, cur_aux, max_iters: int, k_spec: int,
+):
+    """Speculative-batch execution of the angle-shrinkage loop.
+
+    Candidate angle ``i+1`` depends on candidate ``i`` only through its sign
+    (the bracket shrink on rejection consumes no likelihood), so each round
+    pregenerates ``k_spec`` candidates along the assumed-all-reject path with
+    the SAME RNG split chain as the sequential loop, scores them in one
+    vmapped ``loglik_fn`` call, and takes the first acceptor. Bit-identical
+    to the sequential loop: the accepted angle, log-lik, aux, and iteration
+    count all match (candidates past the first acceptor are discarded, and
+    their speculative bracket shrinks never escape the round).
+    """
+    dtype = f.dtype
+
+    def cond(c: _SpecCarry):
+        return (~c.accepted) & (c.iters < max_iters)
+
+    def body(c: _SpecCarry):
+        # -- pregenerate k_spec candidates along the all-reject path --------
+        thetas = []
+        th, tmin, tmax, key = c.theta, c.theta_min, c.theta_max, c.key
+        for _ in range(k_spec):
+            thetas.append(th)
+            tmin = jnp.where(th < 0.0, th, tmin)
+            tmax = jnp.where(th < 0.0, tmax, th)
+            key, sub = jax.random.split(key)
+            th = tmin + jax.random.uniform(sub, dtype=dtype) * (tmax - tmin)
+        thetas = jnp.stack(thetas)  # (K,)
+
+        # -- one batched likelihood evaluation over all candidates ----------
+        f_props = f[None, :] * jnp.cos(thetas)[:, None] + nu[None, :] * jnp.sin(thetas)[:, None]
+        lls, auxs = jax.vmap(loglik_fn)(f_props)
+        # candidates beyond the sequential cap must not accept (exactness
+        # when k_spec does not divide max_iters)
+        in_budget = (c.iters + 1 + jnp.arange(k_spec)) <= max_iters
+        acc_mask = (lls > log_y) & in_budget
+        any_acc = jnp.any(acc_mask)
+        j = jnp.argmax(acc_mask)  # first acceptor (0 if none; gated by any_acc)
+
+        f_sel = jnp.where(any_acc, f_props[j], c.f_acc)
+        ll_sel = jnp.where(any_acc, lls[j], c.ll_acc)
+        aux_sel = jax.tree.map(
+            lambda a, b: jnp.where(any_acc, a[j], b), auxs, c.aux_acc
+        )
+        iters = jnp.minimum(
+            c.iters + jnp.where(any_acc, j + 1, k_spec).astype(jnp.int32), max_iters
+        )
+        return _SpecCarry(th, tmin, tmax, key, any_acc, f_sel, ll_sel, aux_sel, iters)
+
+    init = _SpecCarry(
+        theta=theta,
+        theta_min=theta_min,
+        theta_max=theta_max,
+        key=k_loop,
+        accepted=jnp.asarray(False),
+        f_acc=f,
+        ll_acc=cur_loglik,
+        aux_acc=cur_aux,
+        iters=jnp.zeros((), dtype=jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.f_acc, out.ll_acc, out.aux_acc, out.iters

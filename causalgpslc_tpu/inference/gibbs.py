@@ -159,6 +159,7 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
                         bern_lik,
                         bern_ll,
                         jnp.zeros((), dtype=dtype),
+                        spec_batch=hp.ess_spec_batch,
                     )
                     params = params._replace(logit_t=lt_new)
                     ess_iters = ess_iters + it
@@ -186,6 +187,7 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
                             u_lik,
                             cur_ll,
                             (x_sum, t_lp, y_lp),
+                            spec_batch=hp.ess_spec_batch,
                         )
                         params = params._replace(u=params.u.at[:, k].set(col_new))
                         ess_iters = ess_iters + it

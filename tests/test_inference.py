@@ -224,9 +224,11 @@ def test_wide_mixture_traverses_flat_plateau():
     narrow = chain(None)
     mixed = chain((50.0, 0.3))
     # the plateau is ~uniform in log x over [0, log 60]; a mixing chain's
-    # log-draws should cover most of that range, a frozen one only a sliver
-    assert np.ptp(np.log(mixed)) > 0.8 * np.log(60.0)
-    assert np.ptp(np.log(mixed)) > 1.5 * np.ptp(np.log(narrow[:500]))
+    # log-draws should cover most of that range while the narrow walk covers
+    # strictly less in the same short window (the narrow chain does drift —
+    # multiplicative steps compound — so the bound is coverage, not freezing)
+    assert np.ptp(np.log(mixed)) > 0.9 * np.log(60.0)
+    assert np.ptp(np.log(narrow[:500])) < 0.9 * np.ptp(np.log(mixed))
 
 
 def test_adaptive_proposals_reach_target_acceptance():
@@ -303,6 +305,57 @@ def test_inner_unroll_and_fori_bitwise_identical(binary_t):
         outs[unroll] = s
     for f in outs[True]._fields:
         a, b = getattr(outs[True], f), getattr(outs[False], f)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+
+
+@pytest.mark.parametrize("spec_batch", [3, 8])
+def test_ess_speculative_bitwise_identical(spec_batch):
+    """Speculative-batch ESS (spec_batch>1) must reproduce the sequential
+    angle-shrinkage loop bit-for-bit: the candidate-angle RNG chain depends
+    only on rejected angles' signs, so pregenerating K candidates and taking
+    the first acceptor is the same Markov transition, just batched."""
+    n = 12
+    key0 = jax.random.PRNGKey(7)
+    cov = np.eye(n) + 0.5
+    chol = np.linalg.cholesky(cov).astype(np.float64)
+    target = jnp.asarray(np.linspace(-1.0, 1.0, n))
+
+    def loglik(f):
+        # deliberately sharp likelihood -> low acceptance, multi-round loops
+        ll = -20.0 * jnp.sum((f - target) ** 2)
+        return ll, ll * 0.5  # aux exercises the pytree path
+
+    f = jnp.asarray(np.zeros(n))
+    for i in range(25):
+        k = jax.random.fold_in(key0, i)
+        cur_ll, cur_aux = loglik(f)
+        seq = ess_update(k, f, jnp.asarray(chol), loglik, cur_ll, cur_aux)
+        spec = ess_update(
+            k, f, jnp.asarray(chol), loglik, cur_ll, cur_aux, spec_batch=spec_batch
+        )
+        for a, b, name in zip(seq, spec, ("f", "ll", "aux", "iters")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+        f = seq[0]
+
+
+@pytest.mark.parametrize("binary_t", [False, True])
+def test_ess_spec_batch_mcmc_bitwise_identical(binary_t):
+    """Full MCMC with hp.ess_spec_batch=4 must equal the sequential default
+    bit-for-bit (same RNG streams, same accepted states)."""
+    spec, data = make_case(True, True, binary_t)
+    pp = cg.default_prior_parameters()
+    outs = {}
+    for sb in (1, 4):
+        hp = cg.default_hyperparameters(
+            n_u=spec.n_u, n_outer=3, n_mh_inner=2, n_es_inner=3, n_burn_in=1,
+            n_chains=2, mh_block_sweep=True, ess_spec_batch=sb,
+        )
+        s, _, _ = run_mcmc_jit(jax.random.PRNGKey(3), spec, pp, data, hp)
+        outs[sb] = s
+    for f in outs[1]._fields:
+        a, b = getattr(outs[1], f), getattr(outs[4], f)
         if a is None:
             continue
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
