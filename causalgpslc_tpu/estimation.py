@@ -174,13 +174,26 @@ def ite_samples(key: jax.Array, mean_ites: jax.Array, cov_ites: jax.Array, n_per
     """Draw ``n_per_mixture`` MVN samples per mixture component.
 
     Returns ``(n, S * n_per_mixture)`` — the reference's column layout
-    (``ITEsamples``, ``src/estimation.jl:95-109``) with one Cholesky per
+    (``ITEsamples``, ``src/estimation.jl:95-109``) with one factorization per
     component instead of one per draw.
+
+    float64 factorizes with Cholesky (exact reference parity). float32 draws
+    through a nearest-PSD eigendecomposition factor instead: the C-block
+    assembly ``C11 - C12 - C21 + C22`` carries an ABSOLUTE cancellation error
+    of ~eps_f32 * scale(CovWW), which routinely exceeds the tiny CovITE's own
+    scale (measured: min eigenvalue ~-1e-5 against mean diag ~6e-3 on NEEC),
+    so no output-relative jitter can make Cholesky reliable there. Clamping
+    eigenvalues at zero projects to the nearest PSD matrix; draws stay exact
+    for the represented covariance.
     """
     s, n = mean_ites.shape
-    chols = safe_cholesky(cov_ites)  # (S, n, n) batched
+    if jnp.dtype(mean_ites.dtype) == jnp.float64:
+        factors = safe_cholesky(cov_ites)  # (S, n, n) batched
+    else:
+        w, v = jnp.linalg.eigh(symmetrize(cov_ites))
+        factors = v * jnp.sqrt(jnp.clip(w, 0.0))[..., None, :]
     z = jax.random.normal(key, (s, n_per_mixture, n), dtype=mean_ites.dtype)
-    draws = mean_ites[:, None, :] + jnp.einsum("sij,smj->smi", chols, z)
+    draws = mean_ites[:, None, :] + jnp.einsum("sij,smj->smi", factors, z)
     return draws.reshape(s * n_per_mixture, n).T
 
 

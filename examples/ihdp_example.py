@@ -13,6 +13,11 @@ smaller ``--rows`` to iterate.)
 
 import argparse
 import pathlib
+import sys
+
+# runnable from any cwd without an installed package: the repo root
+# (one level up) holds causalgpslc_tpu/
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 import pandas as pd

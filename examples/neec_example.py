@@ -11,6 +11,11 @@ Run from the repo root:  python examples/neec_example.py
 """
 
 import pathlib
+import sys
+
+# runnable from any cwd without an installed package: the repo root
+# (one level up) holds causalgpslc_tpu/
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

@@ -257,3 +257,43 @@ def test_extract_parameters_indexes_stacked_pytree():
     )
     np.testing.assert_allclose(mean_a, mean_b)
     np.testing.assert_allclose(cov_a, cov_b)
+
+
+def test_ite_samples_finite_in_float32():
+    """f32 regression: the C-block assembly's cancellation error is absolute
+    (~eps * scale(CovWW)), so CovITE can carry eigenvalues ~-1e-5 against a
+    ~1e-3 diagonal — Cholesky NaNs no matter the output-relative jitter.
+    ite_samples must stay finite via the nearest-PSD eigen factor (this is
+    the exact failure measured on NEEC at f32; examples/neec_example.py)."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    s, n = 4, 40
+    # small PSD matrices polluted with absolute noise exceeding their scale
+    a = rng.randn(s, n, 3).astype(np.float32) * 1e-2
+    cov = np.einsum("sik,sjk->sij", a, a)
+    noise = rng.randn(s, n, n).astype(np.float32) * 3e-5
+    cov = cov + (noise + noise.transpose(0, 2, 1)) / 2
+    assert min(np.linalg.eigvalsh(cov.astype(np.float64))[:, 0]) < 0
+    means = jnp.asarray(rng.randn(s, n).astype(np.float32))
+    draws = estimation.ite_samples(jax.random.PRNGKey(0), means, jnp.asarray(cov), 5)
+    assert draws.shape == (n, s * 5)
+    assert bool(jnp.isfinite(draws).all())
+
+
+def test_ite_samples_float64_matches_cholesky_path():
+    """f64 keeps the exact Cholesky parity path (bit-identical draws)."""
+    import jax
+    from causalgpslc_tpu.ops.linalg import safe_cholesky
+
+    rng = np.random.RandomState(1)
+    s, n = 3, 12
+    a = rng.randn(s, n, n)
+    cov = jnp.asarray(np.einsum("sik,sjk->sij", a, a) + np.eye(n))
+    means = jnp.asarray(rng.randn(s, n))
+    key = jax.random.PRNGKey(2)
+    draws = estimation.ite_samples(key, means, cov, 4)
+    chols = safe_cholesky(cov)
+    z = jax.random.normal(key, (s, 4, n), dtype=means.dtype)
+    expect = (means[:, None, :] + jnp.einsum("sij,smj->smi", chols, z)).reshape(s * 4, n).T
+    np.testing.assert_array_equal(np.asarray(draws), np.asarray(expect))
