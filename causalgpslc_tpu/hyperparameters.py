@@ -54,15 +54,17 @@ class HyperParameters:
     # for the same posterior; default False preserves the reference's
     # site-by-site sweep semantics.
     mh_block_sweep: bool = False
-    # Inner-loop compilation strategy. True (default) statically unrolls the
-    # nMHInner MH sweeps and nESInner ES sweeps into straight-line XLA —
-    # fastest at runtime on the axon backend (While iterations pay a fixed
-    # dispatch quantum; BASELINE.md) but the program duplicates the blocked-
-    # Cholesky graph ~(nMHInner + nESInner) times, making cold remote compiles
-    # take 10-25 min. False rolls both inner loops into lax.fori_loop (body
-    # traced once): ~4-5x faster compiles at a small per-iteration quantum
-    # cost. Identical RNG streams either way.
-    inner_unroll: bool = True
+    # Inner-loop compilation strategy. True statically unrolls the nMHInner
+    # MH sweeps and nESInner ES sweeps into straight-line XLA — fastest at
+    # runtime on the axon backend (While iterations pay a fixed dispatch
+    # quantum; BASELINE.md) but the program duplicates the blocked-Cholesky
+    # graph ~(nMHInner + nESInner) times, making cold remote compiles take
+    # 10-25 min. False rolls both inner loops into lax.fori_loop (body traced
+    # once): ~4-5x faster compiles at a small per-iteration quantum cost.
+    # Identical RNG streams and bit-identical samples either way (regression
+    # tested), so None (default) resolves by platform at run time: unrolled
+    # on TPU (runtime-bound), rolled elsewhere (compile-bound).
+    inner_unroll: Optional[bool] = None
     # Speculative ESS batching: evaluate this many candidate angles per
     # elliptical-slice loop round in ONE batched likelihood call (the
     # angle-shrink recursion depends only on each rejected angle's sign, so

@@ -72,6 +72,13 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
     n_moves = len(block_sites(spec)) if use_blocked else len(sweep_moves(spec))
     n_mh_inner = hp.n_mh_inner if (_has_mh_inner_loop(spec) and hp.n_mh_inner) else 1
     n_es_inner = hp.n_es_inner if hp.n_es_inner else 0
+    # None = platform default: unrolled straight-line code on TPU (runtime-
+    # bound: While iterations pay a dispatch quantum), rolled fori_loop on
+    # CPU (compile-bound: the unrolled program duplicates the graph ~15x).
+    # Bit-identical samples either way.
+    inner_unroll = (
+        hp.inner_unroll if hp.inner_unroll is not None else jax.default_backend() != "cpu"
+    )
 
     def outer_step(params: GPSLCParams, data: ModelData, key: jax.Array, drifts=None):
         dtype = data.y.dtype

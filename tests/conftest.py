@@ -30,3 +30,17 @@ DATA_DIR = pathlib.Path(__file__).parent / "data"
 @pytest.fixture
 def data_dir() -> pathlib.Path:
     return DATA_DIR
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    One pytest process accumulates every compiled CPU XLA program (full-MCMC
+    compiles are ~hundreds of MB each); without this the suite dies with
+    'Fatal Python error: Aborted' (allocator abort) near the end. Clearing
+    per module bounds the growth at the cost of cross-module recompiles
+    (programs are rarely shared across modules anyway).
+    """
+    yield
+    jax.clear_caches()

@@ -25,7 +25,10 @@ from test_models import make_case
 # Budgets sized so a healthy ~50%-acceptance site is stuck by chance with
 # probability < 1e-6 per component (the degenerate NoU-NoCov variants run the
 # MH moves once per outer iteration, so n_outer dominates there).
-HP = dict(n_outer=12, n_mh_inner=4, n_es_inner=2, n_burn_in=1)
+# inner_unroll=False: the rolled mode is bit-identical to the unrolled one
+# (covered by test_inner_unroll_and_fori_bitwise_identical) and compiles
+# ~4-5x faster on CPU — full-MCMC compiles dominate this file's runtime.
+HP = dict(n_outer=12, n_mh_inner=4, n_es_inner=2, n_burn_in=1, inner_unroll=False)
 ALL_VARIANTS = [
     (u, x, b) for u in (True, False) for x in (True, False) for b in (True, False)
 ]
@@ -84,7 +87,7 @@ def test_chains_differ_and_are_reproducible():
 def test_mh_acceptance_rate_sane():
     spec, data = make_case(True, True, False)
     pp = cg.default_prior_parameters()
-    hp = cg.default_hyperparameters(n_chains=4, n_u=spec.n_u, n_outer=8, n_mh_inner=2, n_es_inner=1, n_burn_in=1)
+    hp = cg.default_hyperparameters(n_chains=4, n_u=spec.n_u, n_outer=8, n_mh_inner=2, n_es_inner=1, n_burn_in=1, inner_unroll=False)
     _, stats, _ = run_mcmc_jit(jax.random.PRNGKey(1), spec, pp, data, hp)
     rate = float(np.mean(np.asarray(stats.mh_accept_rate)))
     assert 0.05 < rate < 0.95
@@ -238,7 +241,7 @@ def test_adaptive_proposals_reach_target_acceptance():
     pp = cg.default_prior_parameters()
     hp = cg.default_hyperparameters(
         n_chains=4, n_u=spec.n_u, n_outer=30, n_mh_inner=4, n_es_inner=1,
-        n_burn_in=20, adapt_proposals=True, target_accept=0.44,
+        n_burn_in=20, adapt_proposals=True, target_accept=0.44, inner_unroll=False,
     )
     _, stats, _ = run_mcmc_jit(jax.random.PRNGKey(5), spec, pp, data, hp)
     accepts = np.asarray(stats.move_accepts)  # (chains, outer, moves)
@@ -262,7 +265,7 @@ def test_blocked_sweep_no_stuck_sites():
     pp = cg.default_prior_parameters()
     hp = cg.default_hyperparameters(
         n_chains=2, n_u=spec.n_u, n_outer=16, n_mh_inner=6, n_es_inner=2,
-        n_burn_in=1, mh_block_sweep=True,
+        n_burn_in=1, mh_block_sweep=True, inner_unroll=False,
     )
     samples, stats, _ = run_mcmc_jit(jax.random.PRNGKey(2), spec, pp, data, hp)
     assert stuck_sites(samples) == []
@@ -275,7 +278,7 @@ def test_blocked_sweep_posterior_consistent_with_reference_sweep():
     retained-sample moments on a long-ish run."""
     spec, data = make_case(True, False, False, seed=3)
     pp = cg.default_prior_parameters()
-    base = dict(n_chains=8, n_u=spec.n_u, n_outer=60, n_es_inner=2, n_burn_in=20)
+    base = dict(n_chains=8, n_u=spec.n_u, n_outer=60, n_es_inner=2, n_burn_in=20, inner_unroll=False)
     hp_ref = cg.default_hyperparameters(n_mh_inner=3, **base)
     hp_blk = cg.default_hyperparameters(n_mh_inner=9, mh_block_sweep=True, **base)
     s_ref, _, _ = run_mcmc_jit(jax.random.PRNGKey(4), spec, pp, data, hp_ref)
@@ -293,6 +296,7 @@ def test_inner_unroll_and_fori_bitwise_identical(binary_t):
     """inner_unroll=False (rolled lax.fori_loop inner loops, the fast-compile
     mode) must reproduce the unrolled mode's samples bit-for-bit — same RNG
     fold_in streams, same op order per iteration."""
+    jax.clear_caches()  # each run compiles a full MCMC program; free headroom
     spec, data = make_case(True, True, binary_t)
     pp = cg.default_prior_parameters()
     outs = {}
@@ -344,6 +348,7 @@ def test_ess_speculative_bitwise_identical(spec_batch):
 def test_ess_spec_batch_mcmc_bitwise_identical(binary_t):
     """Full MCMC with hp.ess_spec_batch=4 must equal the sequential default
     bit-for-bit (same RNG streams, same accepted states)."""
+    jax.clear_caches()  # each run compiles a full MCMC program; free headroom
     spec, data = make_case(True, True, binary_t)
     pp = cg.default_prior_parameters()
     outs = {}
