@@ -39,6 +39,15 @@ def make_synthetic(n: int, rng: np.random.Generator):
     return pd.DataFrame({"T": rng.normal(size=n), "Y": rng.normal(size=n), "obj": obj})
 
 
+def _wide_drift_from_env():
+    """Wide-jump mixture variance; BENCH_WIDE_DRIFT<=0 explicitly disables
+    the wide component (None), matching gibbs.py's truthiness gate."""
+    if "BENCH_WIDE_DRIFT" not in os.environ:
+        return 100.0
+    v = float(os.environ["BENCH_WIDE_DRIFT"])
+    return v if v > 0 else None
+
+
 def main():
     import jax
 
@@ -83,11 +92,7 @@ def main():
         # remote compile is several times cheaper (~15 min vs 30-60 min) —
         # and the committed .jax_cache/ blob makes driver reruns ~seconds.
         inner_unroll=os.environ.get("BENCH_UNROLL", "0") == "1",
-        mh_wide_drift=(
-            (float(os.environ["BENCH_WIDE_DRIFT"]) or None)
-            if "BENCH_WIDE_DRIFT" in os.environ
-            else 100.0
-        ),
+        mh_wide_drift=_wide_drift_from_env(),
         mh_wide_prob=float(os.environ.get("BENCH_WIDE_PROB", 0.3)),
         ess_spec_batch=int(os.environ.get("BENCH_ESS_SPEC", 1)),
     )

@@ -7,9 +7,13 @@ implementing Murray, Adams & MacKay (2010), arXiv:1001.0175 (see PAPERS.md).
 TPU redesign: the angle-shrinkage loop is a ``lax.while_loop`` with a bounded
 iteration cap so it traces once and vmaps across chains (under ``vmap`` the
 loop runs until every lane accepts, with converged lanes masked). If the cap
-is hit the move degrades to a rejection (state unchanged), which preserves
-the stationary distribution. The reference's loop is unbounded; in practice
-ESS accepts within a handful of shrinks, so the cap (64) is never binding.
+is hit the move returns the current state unchanged. Strictly, truncating
+ESS this way is not exactly invariance-preserving (ESS has no accept/reject
+correction to absorb a truncation), but the bias is negligible in practice:
+the bracket halves in expectation each round, so 64 rounds shrink it below
+float resolution, and the cap has never been observed binding (a behavioral
+test asserts ``max(ess_iters) < cap``; ``tests/test_inference.py``). The
+reference's loop is unbounded.
 
 ``loglik_fn`` returns ``(loglik, aux)`` where ``aux`` is any pytree of
 per-component log-likelihood terms; the accepted proposal's aux is returned

@@ -95,7 +95,7 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
             return params, lps, acc + a
 
         carry = (params, lps, jnp.zeros((n_moves,), dtype=dtype))
-        if hp.inner_unroll and n_mh_inner <= 16:
+        if inner_unroll and n_mh_inner <= 16:
             # statically unrolled: on the axon backend every XLA While/fori
             # ITERATION pays a fixed dispatch quantum (BASELINE.md), while
             # straight-line chains are free — same RNG stream either way.
@@ -201,7 +201,7 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
                 return params, x_sum, t_lp, y_lp, bern_ll, ess_iters
 
             carry = (params, x_sum0, lps.t, lps.y, bern_ll0, ess_iters)
-            if hp.inner_unroll and n_es_inner <= 16:
+            if inner_unroll and n_es_inner <= 16:
                 for j in range(n_es_inner):
                     carry = es_sweep(j, *carry)
             else:

@@ -42,13 +42,22 @@ def _params_from_arrays(arrays: dict) -> GPSLCParams:
     return GPSLCParams(**{f: arrays[f] for f in arrays})
 
 
-def save_chain_state(path: str, params: GPSLCParams, key, outer_done: int, samples=None):
-    """Atomically write chain state (+ optionally retained samples so far)."""
+def save_chain_state(
+    path: str, params: GPSLCParams, key, outer_done: int, samples=None, drifts=None
+):
+    """Atomically write chain state (+ optionally retained samples so far).
+
+    ``drifts`` are the current adaptive proposal variances — part of the
+    Markov-chain state whenever ``adapt_proposals=True``, so they must
+    survive a resume (resetting them mid-burn-in would silently restart
+    adaptation from the prior drift)."""
     path = pathlib.Path(path)
     payload = {f"params/{k}": v for k, v in _params_to_arrays(params).items()}
     payload["key"] = np.asarray(key)
     if samples is not None:
         payload.update({f"samples/{k}": v for k, v in _params_to_arrays(samples).items()})
+    if drifts is not None:
+        payload["drifts"] = np.asarray(drifts)
     payload["meta"] = np.frombuffer(
         json.dumps({"outer_done": int(outer_done)}).encode(), dtype=np.uint8
     )
@@ -60,7 +69,7 @@ def save_chain_state(path: str, params: GPSLCParams, key, outer_done: int, sampl
 
 
 def load_chain_state(path: str):
-    """Returns (params, key, outer_done, samples-or-None)."""
+    """Returns (params, key, outer_done, samples-or-None, drifts-or-None)."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
         params = _params_from_arrays(
@@ -72,7 +81,8 @@ def load_chain_state(path: str):
             if sample_keys
             else None
         )
-        return params, z["key"], meta["outer_done"], samples
+        drifts = z["drifts"] if "drifts" in z.files else None
+        return params, z["key"], meta["outer_done"], samples, drifts
 
 
 def _concat_samples(a: Optional[GPSLCParams], b: GPSLCParams) -> GPSLCParams:
@@ -98,8 +108,10 @@ def run_mcmc_checkpointed(
     (chunked execution only — the host regains control between chunks, which
     is also the progress-reporting hook, the analog of the reference's tqdm
     bar at ``src/inference.jl:21``). ``progress_callback(outer_done, n_outer)``
-    fires after every chunk. Returns ``(samples, None, final_params)`` shaped
-    like :func:`run_mcmc` (samples lead with ``(n_chains, n_outer)``).
+    fires after every chunk. Returns ``(samples, stats, final_params)`` shaped
+    like :func:`run_mcmc` (samples lead with ``(n_chains, n_outer)``; ``stats``
+    is the full concatenated :class:`~causalgpslc_tpu.inference.gibbs.StepStats`,
+    so diagnostics survive the chunked path too).
     """
     from functools import partial
 
@@ -112,7 +124,7 @@ def run_mcmc_checkpointed(
     def run_chunk(params, chunk_key, drifts, n_steps):
         def body(p, k):
             p, stats = outer_step(p, data, k, drifts if hp.adapt_proposals else None)
-            return p, (p, stats.move_accepts)
+            return p, (p, stats)
 
         return jax.lax.scan(body, params, jax.random.split(chunk_key, n_steps))
 
@@ -128,9 +140,11 @@ def run_mcmc_checkpointed(
     drifts = jax.numpy.full((n_moves,), priors["drift"], dtype=dtype)
 
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        params, key_arr, outer_done, samples = load_chain_state(checkpoint_path)
+        params, key_arr, outer_done, samples, saved_drifts = load_chain_state(checkpoint_path)
         params = jax.tree.map(lambda a: jax.numpy.asarray(a, dtype=dtype), params)
         key = jax.numpy.asarray(key_arr)
+        if saved_drifts is not None:
+            drifts = jax.numpy.asarray(saved_drifts, dtype=dtype)
     else:
         chain_keys = jax.random.split(jax.random.fold_in(key, 0), hp.n_chains)
         params = jax.vmap(lambda k: init_from_prior(k, spec, priors, data, dtype=dtype))(
@@ -138,21 +152,23 @@ def run_mcmc_checkpointed(
         )
         outer_done, samples = 0, None
 
+    stats = None
     while outer_done < hp.n_outer:
         n_steps = min(checkpoint_every, hp.n_outer - outer_done)
         key, sub = jax.random.split(key)
         chunk_keys = jax.random.split(sub, hp.n_chains)
-        params, (chunk_samples, chunk_accepts) = run_chunk_chains(
+        params, (chunk_samples, chunk_stats) = run_chunk_chains(
             params, chunk_keys, drifts, n_steps
         )
         samples = _concat_samples(samples, jax.tree.map(np.asarray, chunk_samples))
+        stats = _concat_samples(stats, jax.tree.map(np.asarray, chunk_stats))
         outer_done += n_steps
         if hp.adapt_proposals and outer_done < hp.n_burn_in:
             # POOLED step-size adaptation: mean acceptance across every chain
             # (an all-reduce over the chain axis when sharded — the
             # "cross-host psum for step-size adaptation" of the north star),
             # Robbins-Monro on log-variance, frozen after burn-in.
-            pooled = jax.numpy.mean(chunk_accepts, axis=(0, 1))  # (n_moves,)
+            pooled = jax.numpy.mean(chunk_stats.move_accepts, axis=(0, 1))  # (n_moves,)
             gamma = 0.5 / (1.0 + outer_done) ** 0.6
             drifts = jax.numpy.clip(
                 jax.numpy.exp(
@@ -162,8 +178,8 @@ def run_mcmc_checkpointed(
                 1e3,
             )
         if checkpoint_path is not None:
-            save_chain_state(checkpoint_path, params, key, outer_done, samples)
+            save_chain_state(checkpoint_path, params, key, outer_done, samples, drifts)
         if progress_callback is not None:
             progress_callback(outer_done, hp.n_outer)
 
-    return samples, None, params
+    return samples, stats, params

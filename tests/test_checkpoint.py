@@ -4,6 +4,7 @@ import pathlib
 
 import jax
 import numpy as np
+import pytest
 
 import causalgpslc_tpu as cg
 from causalgpslc_tpu.models.spec import make_model_data
@@ -14,11 +15,11 @@ from causalgpslc_tpu.parallel.checkpoint import (
 )
 
 
-def setup(n_chains=2):
+def setup(n_chains=2, **hp_overrides):
     d = cg.prepare_data(str(pathlib.Path(__file__).parent / "data" / "no_cov.csv"))
-    hp = cg.default_hyperparameters(
-        n_outer=6, n_mh_inner=1, n_es_inner=1, n_burn_in=1, n_u=1, n_chains=n_chains
-    )
+    kw = dict(n_outer=6, n_mh_inner=1, n_es_inner=1, n_burn_in=1, n_u=1, n_chains=n_chains)
+    kw.update(hp_overrides)
+    hp = cg.default_hyperparameters(**kw)
     pp = cg.default_prior_parameters()
     spec, data = make_model_data(d, n_u=hp.n_u)
     return spec, pp, data, hp
@@ -28,24 +29,56 @@ def test_checkpoint_round_trip(tmp_path):
     spec, pp, data, hp = setup()
     path = str(tmp_path / "state.npz")
     key = jax.random.PRNGKey(0)
-    samples, _, final = run_mcmc_checkpointed(key, spec, pp, data, hp, path, checkpoint_every=2)
+    samples, stats, final = run_mcmc_checkpointed(key, spec, pp, data, hp, path, checkpoint_every=2)
     assert samples.ty_ls.shape == (hp.n_chains, hp.n_outer)
-    params, key_arr, outer_done, saved_samples = load_chain_state(path)
+    # the chunked runner returns the full concatenated StepStats (the
+    # verbose/chunked path must not lose diagnostics)
+    assert stats is not None
+    assert stats.mh_accept_rate.shape == (hp.n_chains, hp.n_outer)
+    assert stats.log_joint_blocks.shape == (hp.n_chains, hp.n_outer)
+    params, key_arr, outer_done, saved_samples, _drifts = load_chain_state(path)
     assert outer_done == hp.n_outer
     np.testing.assert_array_equal(np.asarray(saved_samples.ty_ls), np.asarray(samples.ty_ls))
 
 
-def test_resume_matches_uninterrupted(tmp_path):
-    spec, pp, data, hp = setup()
+class _Interrupt(Exception):
+    pass
+
+
+def _crash_after(n_outer_done):
+    """Progress callback simulating a crash right after a checkpoint write
+    (the runner saves state before reporting progress)."""
+
+    def cb(done, total):
+        if done >= n_outer_done:
+            raise _Interrupt
+
+    return cb
+
+
+@pytest.mark.parametrize("adapt", [False, True])
+def test_resume_matches_uninterrupted(tmp_path, adapt):
+    """Bit-exact resume, with and without proposal adaptation: adapted drift
+    variances are Markov-chain state and must survive the checkpoint (silently
+    resetting them mid-burn-in would change the continuation)."""
+    # n_burn_in > first chunk so adaptation is active at the resume boundary
+    spec, pp, data, hp = setup(adapt_proposals=adapt, n_burn_in=5 if adapt else 1)
     key = jax.random.PRNGKey(1)
 
     full_path = str(tmp_path / "full.npz")
     samples_full, _, _ = run_mcmc_checkpointed(key, spec, pp, data, hp, full_path, checkpoint_every=3)
 
-    # interrupted: run 1 chunk only, then resume from the checkpoint file
+    # interrupted: crash after the first chunk's checkpoint, then resume
     part_path = str(tmp_path / "part.npz")
-    hp_short = hp.replace(n_outer=3)
-    run_mcmc_checkpointed(key, spec, pp, data, hp_short, part_path, checkpoint_every=3)
+    with pytest.raises(_Interrupt):
+        run_mcmc_checkpointed(
+            key, spec, pp, data, hp, part_path, checkpoint_every=3,
+            progress_callback=_crash_after(3),
+        )
+    if adapt:
+        _, _, _, _, drifts = load_chain_state(part_path)
+        assert drifts is not None
+        assert not np.allclose(drifts, pp["drift"])  # adaptation actually moved them
     samples_resumed, _, _ = run_mcmc_checkpointed(key, spec, pp, data, hp, part_path, checkpoint_every=3)
 
     np.testing.assert_allclose(

@@ -364,3 +364,47 @@ def test_ess_spec_batch_mcmc_bitwise_identical(binary_t):
         if a is None:
             continue
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+
+
+def test_inner_unroll_none_resolves_by_platform(monkeypatch):
+    """hp.inner_unroll=None must resolve per platform at trace time:
+    unrolled straight-line MH sweeps on TPU (each XLA While iteration pays a
+    dispatch quantum; BASELINE.md), rolled lax.fori_loop elsewhere.
+    Regression for the round-2 dead-code bug where the resolved local was
+    computed but both consumers still branched on the raw (falsy) None."""
+    from causalgpslc_tpu.inference.gibbs import make_outer_step
+    from causalgpslc_tpu.models.state import init_from_prior
+
+    spec, data = make_case(True, False, False)
+    pp = cg.default_prior_parameters()
+    # n_es_inner=0 so the only loop in the program is the MH inner loop
+    hp = cg.default_hyperparameters(n_u=spec.n_u, n_mh_inner=4, n_es_inner=0)
+    assert hp.inner_unroll is None
+    params = init_from_prior(jax.random.PRNGKey(0), spec, pp, data, dtype=data.y.dtype)
+
+    def n_loops(backend):
+        monkeypatch.setattr(jax, "default_backend", lambda: backend)
+        step = make_outer_step(spec, pp, hp)
+        jaxpr = jax.make_jaxpr(lambda p, k: step(p, data, k))(params, jax.random.PRNGKey(1))
+        s = str(jaxpr)
+        # lax.fori_loop lowers to scan (static trip count) or while
+        return s.count("scan") + s.count("while")
+
+    loops_tpu, loops_cpu = n_loops("tpu"), n_loops("cpu")
+    # TPU default unrolls the MH sweep loop -> strictly fewer XLA loop ops
+    assert loops_tpu < loops_cpu, (loops_tpu, loops_cpu)
+
+
+def test_ess_cap_never_binding():
+    """The bounded elliptical-slice loop's truncation bias claim rests on the
+    64-iteration cap never binding; stats.ess_iters sums the shrinkage
+    iterations of every ES move in an outer step, so max(sum) < cap implies
+    no single move hit it."""
+    spec, data = make_case(True, True, True)  # U + X + binary T: logitT + U ESS
+    pp = cg.default_prior_parameters()
+    hp = cg.default_hyperparameters(
+        n_u=spec.n_u, n_chains=4, n_outer=8, n_mh_inner=1, n_es_inner=1,
+        n_burn_in=1, inner_unroll=False,
+    )
+    _, stats, _ = run_mcmc_jit(jax.random.PRNGKey(5), spec, pp, data, hp)
+    assert int(np.max(np.asarray(stats.ess_iters))) < 64
