@@ -145,6 +145,16 @@ def gpslc(
             hp,
             progress_callback=lambda done, total: print(f"[gpslc] outer {done}/{total}"),
         )
+    elif len(jax.devices()) > 1 and hp.n_chains % len(jax.devices()) == 0:
+        # Multi-chip: shard chains over the device mesh transparently (the
+        # reference-parity entry point scales out without touching
+        # causalgpslc_tpu.parallel). Per-chain results match the
+        # single-device path (shared chain runner + same chain keys).
+        from .parallel.mesh import run_mcmc_sharded
+
+        samples, stats, _final = run_mcmc_sharded(
+            jax.random.PRNGKey(seed), spec, pp, model_data, hp
+        )
     else:
         samples, stats, _final = sample_posterior(spec, pp, model_data, hp, seed=seed)
     return GPSLCObject(

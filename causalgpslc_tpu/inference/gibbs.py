@@ -43,7 +43,7 @@ from ..ops.linalg import mvn_logpdf_chol, quantum_free_mode, stabilize_cov
 from .ess import ess_update
 from .mh import block_sites, mh_blocked_sweep, mh_sweep, sweep_moves
 
-__all__ = ["StepStats", "make_outer_step", "run_mcmc"]
+__all__ = ["StepStats", "make_outer_step", "make_chain_runner", "run_mcmc"]
 
 
 class StepStats(NamedTuple):
@@ -239,22 +239,17 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
     return outer_step
 
 
-def run_mcmc(
-    key: jax.Array,
+def make_chain_runner(
     spec: ModelSpec,
     priors: dict,
     data: ModelData,
     hp: HyperParameters,
     init_params: Optional[GPSLCParams] = None,
 ):
-    """Run ``hp.n_chains`` independent chains for ``hp.n_outer`` iterations.
-
-    Returns ``(samples, stats, final_params)`` where every leaf of ``samples``
-    has leading dims ``(n_chains, n_outer)`` — the reference's
-    ``posteriorSamples`` vector of choicemaps (``src/inference.jl:56``),
-    chain-batched. All-device computation; jit-compiled once per
-    (spec, shapes) combination.
-    """
+    """Build ``one_chain(chain_key) -> (samples, stats, final)`` for a single
+    chain's full run. Shared by the on-chip ``vmap`` path (:func:`run_mcmc`)
+    and the mesh-sharded path (``parallel.mesh.run_mcmc_sharded``), so both
+    produce bit-identical per-chain results from the same chain keys."""
     outer_step = make_outer_step(spec, priors, hp)
     dtype = data.y.dtype
     n_moves = len(block_sites(spec)) if hp.mh_block_sweep else len(sweep_moves(spec))
@@ -290,6 +285,26 @@ def run_mcmc(
         )
         return samples, stats, final
 
+    return one_chain
+
+
+def run_mcmc(
+    key: jax.Array,
+    spec: ModelSpec,
+    priors: dict,
+    data: ModelData,
+    hp: HyperParameters,
+    init_params: Optional[GPSLCParams] = None,
+):
+    """Run ``hp.n_chains`` independent chains for ``hp.n_outer`` iterations.
+
+    Returns ``(samples, stats, final_params)`` where every leaf of ``samples``
+    has leading dims ``(n_chains, n_outer)`` — the reference's
+    ``posteriorSamples`` vector of choicemaps (``src/inference.jl:56``),
+    chain-batched. All-device computation; jit-compiled once per
+    (spec, shapes) combination.
+    """
+    one_chain = make_chain_runner(spec, priors, data, hp, init_params)
     chain_keys = jax.random.split(key, hp.n_chains)
     return jax.vmap(one_chain)(chain_keys)
 

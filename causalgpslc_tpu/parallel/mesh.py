@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..hyperparameters import HyperParameters
-from ..inference.gibbs import run_mcmc
+from ..inference.gibbs import make_chain_runner
 from ..models.spec import ModelData, ModelSpec
 
 __all__ = ["chain_mesh", "run_mcmc_sharded", "pooled_chain_stats"]
@@ -50,7 +50,10 @@ def run_mcmc_sharded(
 
     ``n_chains`` must be a multiple of the mesh size (chains are cheap —
     round up). Returns the same ``(samples, stats, final)`` as
-    :func:`~causalgpslc_tpu.inference.gibbs.run_mcmc`, with sample leaves
+    :func:`~causalgpslc_tpu.inference.gibbs.run_mcmc` — per-chain results
+    match the unsharded run to ULP level (same chain keys and per-chain
+    program via the shared ``make_chain_runner``; XLA may fuse the
+    chain-batched and per-device layouts differently), with sample leaves
     sharded chain-major across devices.
     """
     mesh = mesh if mesh is not None else chain_mesh()
@@ -71,14 +74,7 @@ def run_mcmc_sharded(
         out_shardings=chain_sharding,
     )
     def _run(chain_keys, spec, priors_items, data, hp):
-        pp = dict(priors_items)
-
-        def one_chain(ck):
-            one = hp.replace(n_chains=1)
-            samples, stats, final = run_mcmc(ck, spec, pp, data, one)
-            # run_mcmc vmaps over its own chains axis of size 1; squeeze it
-            return jax.tree.map(lambda a: a[0], (samples, stats, final))
-
+        one_chain = make_chain_runner(spec, dict(priors_items), data, hp)
         return jax.vmap(one_chain)(chain_keys)
 
     chain_keys = jax.device_put(jax.random.split(key, hp.n_chains), chain_sharding)

@@ -83,3 +83,48 @@ def test_sharded_dot_grid_matches_serial(tiny_setup):
     )
     np.testing.assert_allclose(dts, dts2)
     np.testing.assert_allclose(ite_serial, ite_sharded, rtol=1e-10)
+
+
+def test_sharded_matches_unsharded(tiny_setup):
+    """The mesh-sharded runner must reproduce the single-device vmap runner:
+    both paths share make_chain_runner and the same per-chain key derivation,
+    so results agree to ULP level (XLA fuses the chain-batched and
+    per-device programs differently, so exact bitwise equality is not
+    guaranteed across layouts)."""
+    from causalgpslc_tpu.inference.gibbs import run_mcmc_jit
+
+    spec, pp, data, hp = tiny_setup
+    s_sharded, _, _ = run_mcmc_sharded(jax.random.PRNGKey(0), spec, pp, data, hp, chain_mesh())
+    s_plain, _, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
+    for f in s_plain._fields:
+        a, b = getattr(s_plain, f), getattr(s_sharded, f)
+        if a is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13, err_msg=f
+        )
+
+
+def test_gpslc_auto_routes_through_chain_mesh():
+    """gpslc() transparently shards chains over the visible devices when
+    n_chains is a multiple of the device count (reference-parity entry point,
+    src/driver.jl:27-44, scaled out) and matches the unsharded result."""
+    import pathlib
+
+    from causalgpslc_tpu.inference.gibbs import run_mcmc_jit
+
+    path = str(pathlib.Path(__file__).parent / "data" / "no_cov.csv")
+    hp = cg.default_hyperparameters(
+        n_outer=3, n_mh_inner=1, n_es_inner=1, n_burn_in=1, n_u=1,
+        n_chains=len(jax.devices()),
+    )
+    g = cg.gpslc(path, hyperparams=hp, seed=0)
+    # landed sharded chain-major over the mesh
+    assert g.posterior_samples.ty_ls.sharding.spec[0] == "chains"
+    s_plain, _, _ = run_mcmc_jit(
+        jax.random.PRNGKey(0), g.spec, g.priorparams, g.data, g.hyperparams
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.posterior_samples.ty_ls), np.asarray(s_plain.ty_ls),
+        rtol=1e-12, atol=1e-13,
+    )
