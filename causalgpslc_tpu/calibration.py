@@ -98,21 +98,28 @@ def run_sbc(
     seed: int = 0,
     alpha: float = 0.05,
     sigma_u=None,
+    dtype=jnp.float64,
 ) -> SBCResult:
     """Run SBC for one model variant; ranks must be uniform if the sampler
-    targets the correct posterior."""
+    targets the correct posterior.
+
+    ``dtype=jnp.float32`` calibrates the TPU speed path (relative-jitter
+    ``stabilize_cov``; combine with speed-path hyperparameters and the
+    ``CAUSALGPSLC_QFC`` env to exercise the exact bench configuration)."""
     priors = priors or default_prior_parameters()
     monitor = [m for m in (monitor or _DEFAULT_MONITOR) if m in hyper_fields(spec)]
     if spec.has_u and sigma_u is None:
         block = np.kron(np.eye(max(spec.n // 4, 1)), np.ones((4, 4)))[: spec.n, : spec.n]
-        sigma_u = jnp.asarray(block + 1e-13 * np.eye(spec.n))
+        sigma_u = jnp.asarray(block + 1e-13 * np.eye(spec.n), dtype=dtype)
+    elif sigma_u is not None:
+        sigma_u = jnp.asarray(sigma_u, dtype=dtype)
 
     ranks = {m: [] for m in monitor}
     n_retained = hp.n_posterior_samples
     for r in range(n_replications):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), r)
         k_sim, k_run = jax.random.split(key)
-        truth, data = simulate_dataset(k_sim, spec, priors, sigma_u)
+        truth, data = simulate_dataset(k_sim, spec, priors, sigma_u, dtype=dtype)
         samples, _, _ = run_mcmc_jit(k_run, spec, priors, data, hp)
         idx = np.asarray(hp.retained_indices())
         for m in monitor:

@@ -32,10 +32,23 @@ block contributes a closed-form constant to the log-density which is
 subtracted exactly (it depends on scale/noise, so it cannot be ignored in
 MH ratios).
 
-Currently implemented for the flagship NoCov continuous-treatment variant
-(``CausalGPSLCNoCovRealT``, ``src/model.jl:45-57`` — the headline bench
-config).  Covariate blocks compose the same way (per-column X densities are
-additional sharded GPs) and are staged next.
+Covers the full with-confounder model family: continuous or binary
+treatment, with or without covariates —
+
+- **Covariate blocks** (``generateXfromU``, ``src/model_likelihood.jl:13-22``)
+  are per-column sharded GPs over the replicated U features; each column's
+  hyperparameters get their own joint MH block (one distributed
+  factorization per column per sweep).
+- **Binary treatment** (``src/inference.jl:216-237``): the latent ``logitT``
+  is a replicated O(N) vector; its GP prior covariance is recomputed (one
+  distributed Cholesky) once per outer iteration exactly as the reference
+  recomputes ``logitTCov``, then each elliptical-slice sweep draws
+  ``nu = L z`` via a local row matvec + one all_gather and scores the O(N)
+  Bernoulli likelihood with no collectives at all.
+
+The NoU variants are not large-N material: without latent confounders the
+per-site densities are the same dense GPs at small n (the reference's
+NoU dispatches), so they stay on the dense engine.
 """
 
 from __future__ import annotations
@@ -48,12 +61,20 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from jax import lax
+
 from ..hyperparameters import HyperParameters, default_hyperparameters, default_prior_parameters
 from ..inference.ess import ess_update
 from ..inference.proposal import propose, proposal_logpdf
 from ..models.spec import GPSLCParams
-from ..ops.distributions import inv_gamma_logpdf
-from ..ops.dist_linalg import dist_mvn_logpdf, dist_rbf_cov_rows, local_rows
+from ..ops.distributions import bernoulli_logit_logpdf, inv_gamma_logpdf
+from ..ops.dist_linalg import (
+    dist_cholesky,
+    dist_forward_solve_quad,
+    dist_mvn_logpdf,
+    dist_rbf_cov_rows,
+    local_rows,
+)
 from ..ops.structured import segment_ids_from_counts, sigma_u_logpdf, sigma_u_sample
 
 __all__ = ["n_mesh", "sharded_gp_logpdf", "run_mcmc_large_n", "LargeNStats"]

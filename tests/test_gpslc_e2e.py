@@ -155,9 +155,14 @@ def test_synthetic_golden_regressions(dataset, data_dir):
             lambda a: None if a is None else np.asarray(a)[-1], s
         )
         lj_ours = float(blocks.log_joint(g.spec, g.priorparams, g.data, last))
-        golden_like = last._replace(ty_ls=np.asarray(1.3))
-        lj_golden_like = float(blocks.log_joint(g.spec, g.priorparams, g.data, golden_like))
-        assert lj_ours > lj_golden_like, (
-            f"{dataset}: our converged sample scores {lj_ours:.1f} <= "
-            f"golden-like {lj_golden_like:.1f}"
-        )
+        # profile over the whole golden-like tyLS band (the goldens sit near
+        # the InvGamma(4,4) prior mean tyLS ~ 1.33), not one hand-picked point
+        for ty_ls in (0.5, 1.0, 1.3, 2.0):
+            golden_like = last._replace(ty_ls=np.asarray(ty_ls))
+            lj_golden_like = float(
+                blocks.log_joint(g.spec, g.priorparams, g.data, golden_like)
+            )
+            assert lj_ours > lj_golden_like, (
+                f"{dataset}: our converged sample scores {lj_ours:.1f} <= "
+                f"golden-like tyLS={ty_ls}: {lj_golden_like:.1f}"
+            )
