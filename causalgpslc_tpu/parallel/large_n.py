@@ -192,20 +192,23 @@ def sharded_gp_logpdf(
 
 
 # ---------------------------------------------------------------------------
-# Large-N MCMC (NoCov continuous variant)
+# Large-N MCMC (with-confounder variants: {RealT, BinaryT} x {Cov, NoCov})
 # ---------------------------------------------------------------------------
 
-_T_SITES = ("ut_ls", "t_scale", "t_noise")
-_Y_SITES = ("uy_ls", "ty_ls", "y_scale", "y_noise")
 _SITE_PRIOR = {
     "u_noise": "uNoise",
     "t_noise": "tNoise",
     "y_noise": "yNoise",
+    "x_noise": "xNoise",
     "ut_ls": "utLS",
     "uy_ls": "uyLS",
     "ty_ls": "tyLS",
+    "ux_ls": "uxLS",
+    "xt_ls": "xtLS",
+    "xy_ls": "xyLS",
     "t_scale": "tScale",
     "y_scale": "yScale",
+    "x_scale": "xScale",
 }
 
 
@@ -244,12 +247,48 @@ def _mh_block(key, params, sites, cur_lp, lp_fn, priors, drift):
     return out, jnp.where(accept, new_lp, cur_lp), accept.astype(cur_lp.dtype)
 
 
+def _mh_x_col(key, params, k, cur_lp, lp_fn, priors, drift):
+    """Joint MH move over covariate column k's sites
+    ``{xNoise[k], xScale[k], uxLS[k, :]}`` — the large-N counterpart of the
+    dense blocked sweep's per-column x-block (one distributed factorization
+    per column; columns are independent given U,
+    ``generateXfromU``, ``src/model_likelihood.jl:13-22``)."""
+    pieces = (
+        ("x_noise", params.x_noise[k]),
+        ("x_scale", params.x_scale[k]),
+        ("ux_ls", params.ux_ls[k]),
+    )
+    dtype = cur_lp.dtype
+    log_q_fwd = log_q_rev = prior_cur = prior_new = jnp.zeros((), dtype=dtype)
+    props = {}
+    for i, (name, cur) in enumerate(pieces):
+        prop = propose(jax.random.fold_in(key, i), cur, drift)
+        props[name] = prop
+        log_q_fwd = log_q_fwd + jnp.sum(proposal_logpdf(prop, cur, drift))
+        log_q_rev = log_q_rev + jnp.sum(proposal_logpdf(cur, prop, drift))
+        prior_cur = prior_cur + _site_prior_lp(priors, name, cur)
+        prior_new = prior_new + _site_prior_lp(priors, name, prop)
+
+    cand = params._replace(
+        x_noise=params.x_noise.at[k].set(props["x_noise"]),
+        x_scale=params.x_scale.at[k].set(props["x_scale"]),
+        ux_ls=params.ux_ls.at[k].set(props["ux_ls"]),
+    )
+    new_lp = lp_fn(cand)
+    log_alpha = (new_lp + prior_new + log_q_rev) - (cur_lp + prior_cur + log_q_fwd)
+    accept = jnp.log(jax.random.uniform(jax.random.fold_in(key, 1000), dtype=dtype)) < log_alpha
+    out = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, params)
+    return out, jnp.where(accept, new_lp, cur_lp), accept.astype(dtype)
+
+
 def run_mcmc_large_n(
     key: jax.Array,
     t,
     y,
     counts,
     *,
+    x=None,
+    binary_t: Optional[bool] = None,
     n_u: int = 1,
     priors: Optional[dict] = None,
     hp: Optional[HyperParameters] = None,
@@ -258,7 +297,14 @@ def run_mcmc_large_n(
     unroll: int = 1,
     dtype=None,
 ):
-    """Sharded-N MCMC for the NoCov continuous GPSLC variant.
+    """Sharded-N MCMC for the with-confounder GPSLC variants.
+
+    Args:
+      x: optional (N, nX) covariates — adds the per-column X GP blocks
+        (``CausalGPSLC{RealT,BinaryT}``, ``src/model.jl:11-27``, ``:73-89``).
+      binary_t: treat T as binary (latent ``logitT`` + Bernoulli likelihood,
+        Algorithm 3's ES over ``:logitT``, ``src/inference.jl:216-237``).
+        ``None`` auto-detects from the values of ``t``.
 
     Single chain (chain parallelism composes as a second mesh axis: chains
     are embarrassingly parallel, so a (chains, n) 2-D mesh runs this program
@@ -273,6 +319,9 @@ def run_mcmc_large_n(
 
     t = np.asarray(t)
     y = np.asarray(y)
+    if binary_t is None:
+        binary_t = bool(np.all(np.isin(t, (0.0, 1.0))))
+    nx = 0 if x is None else int(np.asarray(x).shape[1])
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     n = y.shape[0]
     n_padded = _padded_size(n, n_dev, block)
@@ -287,9 +336,17 @@ def run_mcmc_large_n(
 
     t_j = jnp.asarray(t, dtype=dtype)
     y_p = _pad_vec(jnp.asarray(y, dtype=dtype), n_pad)
+    x_j = None if nx == 0 else jnp.asarray(np.asarray(x), dtype=dtype)
+    x_p = None if nx == 0 else jnp.concatenate(
+        [x_j, jnp.zeros((n_pad, nx), dtype=dtype)], axis=0
+    )
 
     n_mh_inner = hp.n_mh_inner or 1
     n_es_inner = hp.n_es_inner or 0
+
+    t_sites = ("ut_ls", "t_scale", "t_noise") + (("xt_ls",) if nx else ())
+    y_sites = ("uy_ls", "ty_ls", "y_scale", "y_noise") + (("xy_ls",) if nx else ())
+    n_mh_blocks = 3 + nx  # u-block, t-block, y-block, one per covariate column
 
     def _gp_lp(feats_unpadded, target_p, scale, noise):
         return _gp_logpdf_shard(
@@ -299,28 +356,94 @@ def run_mcmc_large_n(
 
     t_p = _pad_vec(t_j, n_pad)
 
-    def lp_t(params, u):
-        # T | U: processCov(rbfKernelLog(U, U, utLS), tScale, tNoise)
-        # (generateRealTfromU, src/model_likelihood.jl:46-52)
-        return _gp_lp(u / params.ut_ls, t_p, params.t_scale, params.t_noise)
+    def t_feats(params, u):
+        # additive log-kernels over (U, X) == one pairwise pass over the
+        # concatenated scaled features (generateRealTfromUX family,
+        # src/model_likelihood.jl:25-80)
+        parts = [u / params.ut_ls]
+        if nx:
+            parts.append(x_j / params.xt_ls)
+        return jnp.concatenate(parts, axis=1)
+
+    def lp_t(params, u, logit_t=None):
+        # continuous: N(T; 0, tCov); binary: the GP factor N(logitT; 0, tCov)
+        target = t_p if not binary_t else _pad_vec(logit_t, n_pad)
+        return _gp_lp(t_feats(params, u), target, params.t_scale, params.t_noise)
 
     def lp_y(params, u):
-        # Y | U, T: additive log-kernels == one pairwise pass over the
-        # concatenated scaled features (generateYfromUT, src/model_likelihood.jl:94-101)
-        feats = jnp.concatenate([t_j[:, None] / params.ty_ls, u / params.uy_ls], axis=1)
-        return _gp_lp(feats, y_p, params.y_scale, params.y_noise)
+        # Y | U, X, T (generateYfromUXT, src/model_likelihood.jl:83-91)
+        parts = [t_j[:, None] / params.ty_ls, u / params.uy_ls]
+        if nx:
+            parts.append(x_j / params.xy_ls)
+        return _gp_lp(jnp.concatenate(parts, axis=1), y_p, params.y_scale, params.y_noise)
+
+    def lp_x_k(params, u, k):
+        # X[:, k] | U (generateXfromU, src/model_likelihood.jl:13-22)
+        return _gp_lp(
+            u / params.ux_ls[k], x_p[:, k], params.x_scale[k], params.x_noise[k]
+        )
+
+    def lp_x_all(params, u):
+        if nx == 0:
+            return jnp.zeros((0,), dtype=dtype)
+        return jnp.stack([lp_x_k(params, u, k) for k in range(nx)])
 
     def lp_u(params, u):
         return jnp.sum(
             sigma_u_logpdf(u.T, seg_ids, counts_t, params.u_noise, eps=eps, cov=ucov)
         )
 
+    def bern_lp(logit_t):
+        # O(N) replicated, collective-free (the Map-bernoulli factor,
+        # src/model_likelihood.jl:25-33)
+        return bernoulli_logit_logpdf(t_j, logit_t)
+
+    def _t_chol_loc(params, u):
+        """Local row shard of chol(tCov) — the frozen per-outer-iteration
+        logitT prior factor (the reference's logitTCov recompute,
+        src/inference.jl:216-227)."""
+        jitter = _rel_jitter(params.t_scale, params.t_noise, dtype)
+        feats_p = _pad_features(t_feats(params, u), n_pad)
+        cov_loc = dist_rbf_cov_rows(
+            [feats_p], [jnp.ones((), dtype=dtype)],
+            params.t_scale, params.t_noise + jitter,
+            axis=N_AXIS, n_local=n_local,
+        )
+        return dist_cholesky(cov_loc, axis=N_AXIS, block=block, unroll=unroll), jitter
+
+    def _t_nu(nk, l_loc):
+        """nu ~ N(0, tCov): local (Nl, Np) row matvec, assembled with one
+        psum (scatter-into-zeros + all-reduce ≡ all_gather, but psum output
+        is mesh-INVARIANT, which the elliptical-slice while_loop requires —
+        shard_map's varying-axes check rejects carries derived from
+        all_gather). The sentinel-padded cov is block-diagonal so rows [:n]
+        involve only the real block."""
+        z = jax.random.normal(nk, (n_padded,), dtype=dtype)
+        loc = l_loc @ z  # (Nl,)
+        rows = local_rows(N_AXIS, n_local)
+        full = jnp.zeros((n_padded,), dtype=dtype).at[rows].set(loc)
+        return lax.psum(full, N_AXIS)[:n]
+
+    def _lp_t_frozen(params, l_loc, jitter, logit_t):
+        """GP factor of a new logitT under the FROZEN tCov factor — a panel
+        forward solve, no new factorization (mirrors the dense engine's
+        mvn_logpdf_b(lt_new, t_fac) refresh)."""
+        lt_p = _pad_vec(logit_t, n_pad)
+        rows = local_rows(N_AXIS, n_local)
+        quad, logdet = dist_forward_solve_quad(
+            l_loc, lt_p[rows], axis=N_AXIS, block=block, unroll=unroll
+        )
+        cst = n_padded * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype=dtype))
+        diag_val = params.t_scale + params.t_noise + jitter
+        return -0.5 * (quad + logdet + cst) - _pad_correction(n_pad, diag_val, dtype)
+
     def outer_step(carry, step_key):
         params, lps = carry
-        lpu, lpt, lpy = lps
+        lpu, lpx, lpt, lpy, bll = lps
         k_mh, k_ess = jax.random.split(step_key)
         n_acc = jnp.zeros((), dtype=dtype)
 
+        # ---- Algorithm 2: blocked MH sweeps ------------------------------
         for i in range(n_mh_inner):
             ki = jax.random.fold_in(k_mh, i)
             params, lpu, a0 = _mh_block(
@@ -328,52 +451,90 @@ def run_mcmc_large_n(
                 lambda p: lp_u(p, params.u), priors_j, drift,
             )
             params, lpt, a1 = _mh_block(
-                jax.random.fold_in(ki, 1), params, _T_SITES, lpt,
-                lambda p: lp_t(p, params.u), priors_j, drift,
+                jax.random.fold_in(ki, 1), params, t_sites, lpt,
+                lambda p, params=params: lp_t(p, params.u, params.logit_t),
+                priors_j, drift,
             )
             params, lpy, a2 = _mh_block(
-                jax.random.fold_in(ki, 2), params, _Y_SITES, lpy,
+                jax.random.fold_in(ki, 2), params, y_sites, lpy,
                 lambda p: lp_y(p, params.u), priors_j, drift,
             )
             n_acc = n_acc + a0 + a1 + a2
-
-        ess_iters = jnp.zeros((), dtype=jnp.int32)
-        for j in range(n_es_inner):
-            kj = jax.random.fold_in(k_ess, j)
-            for k in range(n_u):
-                def u_lik(col, params=params, k=k):
-                    u2 = params.u.at[:, k].set(col)
-                    lt = lp_t(params, u2)
-                    ly = lp_y(params, u2)
-                    return lt + ly, (lt, ly)
-
-                def nu_sample(nk, params=params):
-                    return sigma_u_sample(
-                        nk, seg_ids, counts_t, params.u_noise,
-                        eps=eps, cov=ucov, dtype=dtype,
-                    )
-
-                col_new, _, (lpt, lpy), it = ess_update(
-                    jax.random.fold_in(kj, k), params.u[:, k], nu_sample,
-                    u_lik, lpt + lpy, (lpt, lpy),
+            for k in range(nx):
+                params, lpk, ak = _mh_x_col(
+                    jax.random.fold_in(ki, 3 + k), params, k, lpx[k],
+                    lambda p, k=k, params=params: lp_x_k(p, params.u, k),
+                    priors_j, drift,
                 )
-                params = params._replace(u=params.u.at[:, k].set(col_new))
-                ess_iters = ess_iters + it
+                lpx = lpx.at[k].set(lpk)
+                n_acc = n_acc + ak
+
+        # ---- Algorithm 3: elliptical slice over logitT and U columns -----
+        ess_iters = jnp.zeros((), dtype=jnp.int32)
+        if n_es_inner > 0:
+            if binary_t:
+                # logitT prior covariance frozen at post-MH params for the
+                # whole ES loop, exactly as the reference recomputes
+                # logitTCov once per outer iteration (src/inference.jl:216-237)
+                l_loc_t, t_jit = _t_chol_loc(params, params.u)
+            for j in range(n_es_inner):
+                kj = jax.random.fold_in(k_ess, j)
+                if binary_t:
+                    def b_lik(lt):
+                        return bern_lp(lt), jnp.zeros((), dtype=dtype)
+
+                    lt_new, bll, _, it = ess_update(
+                        jax.random.fold_in(kj, 1000), params.logit_t,
+                        lambda nk: _t_nu(nk, l_loc_t), b_lik, bll,
+                        jnp.zeros((), dtype=dtype),
+                    )
+                    params = params._replace(logit_t=lt_new)
+                    lpt = _lp_t_frozen(params, l_loc_t, t_jit, lt_new)
+                    ess_iters = ess_iters + it
+
+                for k in range(n_u):
+                    def u_lik(col, params=params, k=k):
+                        u2 = params.u.at[:, k].set(col)
+                        lx = lp_x_all(params, u2)
+                        lt = lp_t(params, u2, params.logit_t)
+                        ly = lp_y(params, u2)
+                        return jnp.sum(lx) + lt + ly, (lx, lt, ly)
+
+                    def nu_sample(nk, params=params):
+                        return sigma_u_sample(
+                            nk, seg_ids, counts_t, params.u_noise,
+                            eps=eps, cov=ucov, dtype=dtype,
+                        )
+
+                    col_new, _, (lpx, lpt, lpy), it = ess_update(
+                        jax.random.fold_in(kj, k), params.u[:, k], nu_sample,
+                        u_lik, jnp.sum(lpx) + lpt + lpy, (lpx, lpt, lpy),
+                    )
+                    params = params._replace(u=params.u.at[:, k].set(col_new))
+                    ess_iters = ess_iters + it
             lpu = lp_u(params, params.u)
 
         stats = LargeNStats(
-            mh_accept_rate=n_acc / (3.0 * n_mh_inner),
+            mh_accept_rate=n_acc / (n_mh_blocks * n_mh_inner),
             ess_iters=ess_iters,
-            log_joint=lpu + lpt + lpy,
+            log_joint=lpu + jnp.sum(lpx) + lpt + lpy + bll,
         )
-        return (params, (lpu, lpt, lpy)), (params, stats)
+        return (params, (lpu, lpx, lpt, lpy, bll)), (params, stats)
 
     def run_shard(key, u0, params0):
         params0 = params0._replace(u=u0)
+        if binary_t:
+            # logitT ~ N(0, tCov) prior draw (init_from_prior parity,
+            # src/inference.jl:20 via Gen.generate)
+            k_lt, key = jax.random.split(key)
+            l0, _ = _t_chol_loc(params0, u0)
+            params0 = params0._replace(logit_t=_t_nu(k_lt, l0))
         lps0 = (
             lp_u(params0, u0),
-            lp_t(params0, u0),
+            lp_x_all(params0, u0),
+            lp_t(params0, u0, params0.logit_t),
             lp_y(params0, u0),
+            bern_lp(params0.logit_t) if binary_t else jnp.zeros((), dtype=dtype),
         )
         (final, _), (samples, stats) = jax.lax.scan(
             outer_step, (params0, lps0), jax.random.split(key, hp.n_outer)
@@ -390,7 +551,7 @@ def run_mcmc_large_n(
         b = jnp.full(shape, priors_j[stem + "Scale"], dtype=dtype)
         return inv_gamma_sample(kk, a, b)
 
-    keys = jax.random.split(k_init, 10)
+    keys = jax.random.split(k_init, 14)
     u_noise0 = ig(keys[1], "uNoise")
     u0 = jax.vmap(
         lambda kk: sigma_u_sample(kk, seg_ids, counts_t, u_noise0, eps=eps, cov=ucov, dtype=dtype)
@@ -405,6 +566,12 @@ def run_mcmc_large_n(
         t_scale=ig(keys[7], "tScale"),
         y_scale=ig(keys[9], "yScale"),
         u=jnp.zeros((n, n_u), dtype=dtype),
+        x_noise=ig(keys[10], "xNoise", (nx,)) if nx else None,
+        x_scale=ig(keys[11], "xScale", (nx,)) if nx else None,
+        ux_ls=ig(keys[12], "uxLS", (nx, n_u)) if nx else None,
+        xt_ls=ig(keys[13], "xtLS", (nx,)) if nx else None,
+        xy_ls=ig(keys[8], "xyLS", (nx,)) if nx else None,
+        logit_t=jnp.zeros((n,), dtype=dtype) if binary_t else None,
     )
 
     shmap = jax.shard_map(run_shard, mesh=mesh, in_specs=P(), out_specs=P())

@@ -138,3 +138,66 @@ def test_run_mcmc_large_n_reproducible():
     out2 = run_mcmc_large_n(jax.random.key(5), t, y, counts, hp=hp, mesh=n_mesh(8), block=4)
     for a, b in zip(jax.tree.leaves(out1), jax.tree.leaves(out2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("binary_t", [False, True])
+def test_run_mcmc_large_n_covariates_matches_dense(binary_t):
+    """U+X variants (continuous + binary T): the sharded engine's tracked
+    log-joint must equal the dense engine's block densities at the final
+    state (per-column X GPs src/model_likelihood.jl:13-22; binary logitT ESS
+    src/inference.jl:216-237)."""
+    counts = [13, 7, 20, 12]  # uneven N=52 -> pad to 64 on the 8-way mesh
+    n = sum(counts)
+    nx = 2
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(n, nx))
+    t_lat = 0.8 * x[:, 0] + rng.normal(size=n) * 0.5
+    t = (t_lat > 0).astype(float) if binary_t else t_lat
+    y = 0.7 * t + 0.4 * x[:, 1] + rng.normal(size=n) * 0.3
+    hp = default_hyperparameters().replace(
+        n_outer=3, n_mh_inner=2, n_es_inner=2, n_chains=1, n_burn_in=1
+    )
+    samples, stats, final = run_mcmc_large_n(
+        jax.random.key(7), t, y, counts, x=x, binary_t=binary_t,
+        n_u=1, hp=hp, mesh=n_mesh(8), block=8,
+    )
+    samples, stats, final = jax.tree.map(np.asarray, (samples, stats, final))
+
+    assert samples.u.shape == (3, n, 1)
+    assert samples.ux_ls.shape == (3, nx, 1)
+    # some hyperparameter block accepted and the U ESS moved (per-block
+    # movement at this tiny budget is luck-of-the-draw: a joint 5-site
+    # y-block proposal at drift 0.5 accepts ~10-20% of the time)
+    hyper_traces = np.concatenate(
+        [samples.ty_ls[:, None], samples.t_noise[:, None], samples.x_noise], axis=1
+    )
+    assert any(len(np.unique(hyper_traces[:, j])) > 1 for j in range(hyper_traces.shape[1]))
+    assert len(np.unique(samples.u[:, 0, 0])) > 1
+    if binary_t:
+        assert samples.logit_t.shape == (3, n)
+        assert len(np.unique(samples.logit_t[:, 0])) > 1  # logitT ESS moved
+    assert np.all(np.isfinite(stats.log_joint))
+
+    from causalgpslc_tpu.models import blocks
+
+    spec = ModelSpec(n=n, n_u=1, n_x=nx, binary_t=binary_t)
+    data = ModelData(
+        t=jnp.asarray(t), y=jnp.asarray(y), x=jnp.asarray(x),
+        sigma_u=jnp.asarray(generate_sigma_u(counts)),
+    )
+    params = jax.tree.map(jnp.asarray, final)
+    lpu_struct = float(
+        jnp.sum(
+            sigma_u_logpdf(
+                params.u.T, segment_ids_from_counts(counts), tuple(counts),
+                params.u_noise,
+            )
+        )
+    )
+    want = float(
+        blocks.logp_t_gp(spec, data, params)
+        + blocks.logp_y(spec, data, params)
+        + jnp.sum(blocks.logp_x(spec, data, params))
+        + (blocks.logp_t_bernoulli(spec, data, params) if binary_t else 0.0)
+    )
+    assert float(stats.log_joint[-1]) - lpu_struct == pytest.approx(want, rel=1e-10)
