@@ -77,7 +77,13 @@ from ..ops.dist_linalg import (
 )
 from ..ops.structured import segment_ids_from_counts, sigma_u_logpdf, sigma_u_sample
 
-__all__ = ["n_mesh", "sharded_gp_logpdf", "run_mcmc_large_n", "LargeNStats"]
+__all__ = [
+    "n_mesh",
+    "sharded_gp_logpdf",
+    "run_mcmc_large_n",
+    "conditional_ite_large_n",
+    "LargeNStats",
+]
 
 N_AXIS = "n"
 
@@ -576,3 +582,168 @@ def run_mcmc_large_n(
 
     shmap = jax.shard_map(run_shard, mesh=mesh, in_specs=P(), out_specs=P())
     return jax.jit(shmap)(k_run, u0, params0)
+
+
+# ---------------------------------------------------------------------------
+# Large-N estimation: row-sharded GP counterfactual conditioning
+# ---------------------------------------------------------------------------
+#
+# The dense path (estimation.py) materializes (S, n, n) conditioning blocks —
+# at N = 50k a single CovWW is 10 GB, so a large-N posterior could be sampled
+# but never *used*. This path reformulates conditionalITE
+# (/root/reference/src/estimation.jl:36-50 over the blocks of
+# src/likelihood.jl:8-52) so only row shards and O(N) reductions exist:
+#
+#   M  = CovWW (no noise),  S_ij = k(w_i, w*_j),  Ss = CovWsWs,
+#   P  = M + yNoise I,      G = M - S',           D = M - S - S' + Ss
+#
+#   MeanITE     = (S' - M) P^-1 Y  = -W' u        W = L^-1 G', u = L^-1 Y
+#   diag CovITE = diag(D) - colsums(W * W)
+#   sum  CovITE = sum(D)  - ||L^-1 (G' 1)||^2     (for SATE)
+#
+# so ONE distributed Cholesky of P plus ONE multi-RHS panel forward solve
+# (RHS = [G' | Y | G'1], reductions folded per panel, W never stored)
+# produce the per-individual ITE means/variances and the SATE moments that
+# summarizeEstimates needs. No backward substitution is required at all.
+
+
+def conditional_ite_large_n(
+    params: GPSLCParams,
+    t,
+    y,
+    do_t,
+    *,
+    x=None,
+    mesh: Optional[Mesh] = None,
+    block: int = 256,
+    unroll: int = 1,
+    prediction_covariance_noise: float = 1e-10,
+    dtype=None,
+):
+    """Row-sharded closed-form GP counterfactual for ONE posterior sample.
+
+    Returns ``(mean_ite (n,), var_ite (n,), sate_mean, sate_var)`` —
+    ``var_ite`` is the diagonal of CovITE (+ the reference's
+    ``predictionCovarianceNoise`` stabilizer, ``src/estimation.jl:82``);
+    callers loop/scan posterior samples. Matches the dense
+    :func:`causalgpslc_tpu.estimation.conditional_ite` diagonal exactly
+    (tests/test_large_n.py).
+    """
+    from ..ops.dist_linalg import _diag_block
+    from ..ops.kernels import rbf_kernel_log
+    from jax.scipy.linalg import solve_triangular
+
+    mesh = mesh if mesh is not None else n_mesh()
+    n_dev = mesh.devices.size
+    t = np.asarray(t)
+    y = np.asarray(y)
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    n = int(y.shape[0])
+    nx = 0 if x is None else int(np.asarray(x).shape[1])
+    n_padded = _padded_size(n, n_dev, block)
+    n_pad = n_padded - n
+    n_local = n_padded // n_dev
+    n_cols = n_padded + 2  # [G' | Y | G'1]
+
+    t_j = jnp.asarray(t, dtype=dtype)
+    do_vec = jnp.broadcast_to(jnp.asarray(do_t, dtype=dtype), (n,))
+    y_p = _pad_vec(jnp.asarray(y, dtype=dtype), n_pad)
+    x_j = None if nx == 0 else jnp.asarray(np.asarray(x), dtype=dtype)
+
+    def _y_feats(tvec, p):
+        parts = [tvec[:, None] / p.ty_ls]
+        if p.u is not None:
+            parts.append(p.u / p.uy_ls)
+        if nx:
+            parts.append(x_j / p.xy_ls)
+        return jnp.concatenate(parts, axis=1)
+
+    obs_p = _pad_features(_y_feats(t_j, params), n_pad)
+    intv_p = _pad_features(_y_feats(do_vec, params), n_pad)
+    scale = jnp.asarray(params.y_scale, dtype=dtype)
+    noise = jnp.asarray(params.y_noise, dtype=dtype)
+    jitter = _rel_jitter(scale, noise, dtype)
+    pred_noise = jnp.asarray(prediction_covariance_noise, dtype=dtype)
+
+    def shard_body(obs_p, intv_p, y_p, scale, noise):
+        rows = local_rows(N_AXIS, n_local)
+        cols = jnp.arange(n_padded)
+        ones = jnp.ones((), dtype=dtype)
+        # row shards of the three kernel blocks (pad rows/cols masked to 0 —
+        # the pad block must not leak into G/D reductions)
+        mask = ((rows < n)[:, None] & (cols < n)[None, :]).astype(dtype)
+        m_loc = scale * jnp.exp(rbf_kernel_log(obs_p[rows], obs_p, ones, method="dot"))
+        s_loc = scale * jnp.exp(rbf_kernel_log(obs_p[rows], intv_p, ones, method="dot"))
+        ss_loc = scale * jnp.exp(rbf_kernel_log(intv_p[rows], intv_p, ones, method="dot"))
+        onehot = (cols[None, :] == rows[:, None]).astype(dtype)
+        p_loc = m_loc + onehot * (noise + jitter)  # pad diag = scale + noise: SPD
+        m_loc = m_loc * mask
+        s_loc = s_loc * mask
+        ss_loc = ss_loc * mask
+
+        g_loc = m_loc - s_loc  # rows of G' = M - S
+        rhs_loc = jnp.concatenate(
+            [g_loc, y_p[rows][:, None], jnp.sum(g_loc, axis=1)[:, None]], axis=1
+        )
+
+        # O(N) diagonal and full-sum reductions of D = M - S - S' + Ss
+        def _diag(a_loc):
+            v = jnp.take_along_axis(a_loc, rows[:, None], axis=1)[:, 0]
+            return lax.psum(jnp.zeros((n_padded,), dtype=dtype).at[rows].set(v), N_AXIS)
+
+        diag_d = _diag(m_loc) - 2.0 * _diag(s_loc) + _diag(ss_loc)
+        sum_d = lax.psum(
+            jnp.sum(m_loc) - 2.0 * jnp.sum(s_loc) + jnp.sum(ss_loc), N_AXIS
+        )
+
+        l_loc = dist_cholesky(p_loc, axis=N_AXIS, block=block, unroll=unroll)
+
+        # multi-RHS panel forward solve with streaming reductions: W is
+        # consumed panel-by-panel, never stored
+        d = lax.axis_index(N_AXIS)
+
+        def fbody(k, carry):
+            part, m_acc, q_acc, s_quad = carry
+            ofs = k * block
+            lkk = _diag_block(l_loc, ofs, block, N_AXIS)
+            owner = ofs // n_local
+            lofs = jnp.where(d == owner, ofs - owner * n_local, 0)
+            rhs_k = lax.dynamic_slice(
+                rhs_loc - part, (jnp.asarray(lofs, jnp.int32), jnp.asarray(0, jnp.int32)),
+                (block, n_cols),
+            )
+            zk = solve_triangular(lkk, rhs_k, lower=True)
+            zk = lax.psum(jnp.where(d == owner, zk, jnp.zeros_like(zk)), N_AXIS)
+            lpanel = lax.dynamic_slice(
+                l_loc, (jnp.asarray(0, jnp.int32), jnp.asarray(ofs, jnp.int32)),
+                (n_local, block),
+            )
+            part = part + lpanel @ zk
+            w_k, u_k, e_k = zk[:, :n_padded], zk[:, n_padded], zk[:, n_padded + 1]
+            return (
+                part,
+                m_acc + w_k.T @ u_k,
+                q_acc + jnp.sum(w_k * w_k, axis=0),
+                s_quad + jnp.sum(e_k * e_k),
+            )
+
+        init = (
+            # zeros_like inherits rhs_loc's mesh-varying type (the carry must
+            # match fbody's output, which is varying through lpanel @ zk)
+            jnp.zeros_like(rhs_loc),
+            jnp.zeros((n_padded,), dtype=dtype),
+            jnp.zeros((n_padded,), dtype=dtype),
+            jnp.zeros((), dtype=dtype),
+        )
+        _, m_acc, q_acc, s_quad = lax.fori_loop(
+            0, n_padded // block, fbody, init, unroll=unroll
+        )
+        return -m_acc, diag_d - q_acc, sum_d - s_quad
+
+    shmap = jax.shard_map(shard_body, mesh=mesh, in_specs=P(), out_specs=P())
+    mean_p, var_p, cov_sum = jax.jit(shmap)(obs_p, intv_p, y_p, scale, noise)
+    mean_ite = mean_p[:n]
+    var_ite = var_p[:n] + pred_noise
+    sate_mean = jnp.mean(mean_ite)
+    sate_var = (cov_sum + n * pred_noise) / (n * n)
+    return mean_ite, var_ite, sate_mean, sate_var

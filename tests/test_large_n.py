@@ -201,3 +201,46 @@ def test_run_mcmc_large_n_covariates_matches_dense(binary_t):
         + (blocks.logp_t_bernoulli(spec, data, params) if binary_t else 0.0)
     )
     assert float(stats.log_joint[-1]) - lpu_struct == pytest.approx(want, rel=1e-10)
+
+
+@pytest.mark.parametrize("nx", [None, 2])
+def test_conditional_ite_large_n_matches_dense(nx):
+    """Row-sharded counterfactual conditioning: per-individual ITE mean and
+    variance (and the SATE moments) must match the dense engine's
+    conditional_ite / conditional_sate exactly (ref src/likelihood.jl:42-49,
+    src/estimation.jl:36-50, :116-121)."""
+    from causalgpslc_tpu import estimation
+    from causalgpslc_tpu.models.state import init_from_prior
+    from causalgpslc_tpu.parallel.large_n import conditional_ite_large_n
+
+    n = 52  # uneven: pads to 64 on the 8-way mesh at block=8
+    rng = np.random.default_rng(9)
+    counts = [13, 7, 20, 12]
+    x = None if nx is None else rng.normal(size=(n, nx))
+    t = rng.normal(size=n)
+    y = 0.7 * t + rng.normal(size=n) * 0.4
+    spec = ModelSpec(n=n, n_u=1, n_x=nx, binary_t=False)
+    sigma_u = jnp.asarray(generate_sigma_u(counts))
+    data = ModelData(
+        t=jnp.asarray(t), y=jnp.asarray(y),
+        x=None if nx is None else jnp.asarray(x), sigma_u=sigma_u,
+    )
+    pp = default_prior_parameters()
+    params = init_from_prior(jax.random.PRNGKey(1), spec, pp, data)
+
+    do_t = 0.6
+    noise = 1e-10
+    mean_d, cov_d = estimation.conditional_ite(spec, data, params, do_t)
+    sate_mean_d, sate_var_d = estimation.conditional_sate(
+        mean_d, cov_d + noise * jnp.eye(n)
+    )
+    mean_s, var_s, sate_mean_s, sate_var_s = conditional_ite_large_n(
+        params, t, y, do_t, x=x, mesh=n_mesh(8), block=8,
+        prediction_covariance_noise=noise,
+    )
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_d), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(var_s), np.asarray(jnp.diagonal(cov_d)) + noise, rtol=1e-7, atol=1e-10
+    )
+    assert float(sate_mean_s) == pytest.approx(float(sate_mean_d), rel=1e-9)
+    assert float(sate_var_s) == pytest.approx(float(sate_var_d), rel=1e-6)
