@@ -93,31 +93,15 @@ def field_block(field: str) -> str:
 # Covariance builders
 # ---------------------------------------------------------------------------
 
-_PALLAS_MIN_N = 512
-
-
-def _use_fused_kernel(n: int, dtype) -> bool:
-    """Route float32 covariance builds through the fused Pallas kernel when
-    CAUSALGPSLC_PALLAS=on. Currently opt-in: profiled on v5e at n=500-5000 the
-    XLA dot-path build (10 ms at n=5000) beats the first-cut fused kernel
-    (16 ms) — the feature-dim padding to the 128-lane width wastes MXU work at
-    the tiny ARD dims GPSLC uses. Kept for large-N tuning work."""
-    import os
-
-    mode = os.environ.get("CAUSALGPSLC_PALLAS", "auto")
-    if dtype == jnp.float64:
-        return False  # TPU Pallas has no f64
-    return mode == "on"
-
 
 def build_cov(features: jax.Array, scale, noise) -> jax.Array:
-    """``exp(-cdist^2(features)) * scale + noise I`` with automatic kernel
-    selection (fused Pallas on TPU at scale, XLA elsewhere)."""
-    n = features.shape[0]
-    if _use_fused_kernel(n, features.dtype):
-        from ..ops.pallas import fused_rbf_cov
+    """``exp(-cdist^2(features)) * scale + noise I`` via the XLA dot path.
 
-        return fused_rbf_cov(features, jnp.asarray(scale), jnp.asarray(noise))
+    One (n, d) @ (d, n) Gram matmul with the exp/scale/noise epilogue fused
+    by XLA. A handwritten fused Pallas build was prototyped and measured
+    slower (16 ms vs 10 ms at n=5000 f32 on v5e): GPSLC's tiny ARD feature
+    dims pad to the 128-lane MXU width in-kernel, and XLA already fuses the
+    elementwise epilogue, so the prototype was removed (BASELINE.md)."""
     log_cov = rbf_kernel_log(features, features, jnp.ones((), dtype=features.dtype))
     return process_cov(log_cov, scale, noise)
 

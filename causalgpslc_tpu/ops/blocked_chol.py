@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # pragma: no cover - import guard mirrors ops/pallas/rbf.py
+try:  # pragma: no cover - the TPU plugin may be absent (CPU-only envs)
     from jax.experimental.pallas import tpu as pltpu
 except Exception:  # pragma: no cover
     pltpu = None
