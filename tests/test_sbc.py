@@ -59,3 +59,39 @@ def test_sbc_uniform_ranks(n_u, n_x, binary_t):
     )
     res = run_sbc(spec, hp, n_replications=30, seed=3)
     assert res.passed, f"SBC rank-uniformity rejected: {res.pvalues}"
+
+
+def test_sbc_harness_linear_toy_controls():
+    """Harness self-check, the analog of the reference's linear-toy SBC
+    (`test/test_model.jl:23-53` exercised at `test/sbc.jl:143-146`): a simple
+    conjugate linear-Gaussian model where the exact posterior is available in
+    closed form. An exact posterior sampler must produce uniform SBC ranks
+    (positive control) and a biased sampler must be REJECTED (negative
+    control — the reference's own inverted KS acceptance, `test/sbc.jl:62-68`,
+    would pass the biased sampler and fail the exact one)."""
+    from causalgpslc_tpu.calibration import rank_uniformity_pvalues
+
+    rng = np.random.default_rng(0)
+    n, n_draws, n_reps = 20, 99, 120
+    x = rng.normal(size=n)
+    sigma2, tau2 = 0.5, 2.0  # noise variance, prior variance of the slope
+
+    def ranks_for(sampler):
+        out = []
+        for _ in range(n_reps):
+            beta_true = rng.normal() * np.sqrt(tau2)
+            y = beta_true * x + rng.normal(size=n) * np.sqrt(sigma2)
+            # conjugate posterior: beta | y ~ N(mu_post, v_post)
+            v_post = 1.0 / (x @ x / sigma2 + 1.0 / tau2)
+            mu_post = v_post * (x @ y) / sigma2
+            draws = sampler(mu_post, v_post, n_draws)
+            out.append(int(np.sum(draws < beta_true)))
+        return {"beta": np.asarray(out)}
+
+    exact = lambda m, v, k: m + np.sqrt(v) * rng.normal(size=k)
+    biased = lambda m, v, k: m + 0.3 * np.sqrt(v) * rng.normal(size=k)  # too narrow
+
+    p_exact = rank_uniformity_pvalues(ranks_for(exact), n_draws)["beta"]
+    p_biased = rank_uniformity_pvalues(ranks_for(biased), n_draws)["beta"]
+    assert p_exact > 0.05, f"exact sampler rejected (p={p_exact})"
+    assert p_biased < 0.01, f"biased sampler not detected (p={p_biased})"
