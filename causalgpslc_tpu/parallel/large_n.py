@@ -53,6 +53,7 @@ NoU dispatches), so they stay on the dense engine.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -82,6 +83,8 @@ __all__ = [
     "sharded_gp_logpdf",
     "run_mcmc_large_n",
     "conditional_ite_large_n",
+    "ite_distributions_large_n",
+    "ite_samples_marginal",
     "LargeNStats",
 ]
 
@@ -625,14 +628,12 @@ def conditional_ite_large_n(
     Returns ``(mean_ite (n,), var_ite (n,), sate_mean, sate_var)`` —
     ``var_ite`` is the diagonal of CovITE (+ the reference's
     ``predictionCovarianceNoise`` stabilizer, ``src/estimation.jl:82``);
-    callers loop/scan posterior samples. Matches the dense
+    callers loop posterior samples (the compiled program is cached per
+    (mesh, n, block) and reused across samples — see
+    :func:`ite_distributions_large_n`). Matches the dense
     :func:`causalgpslc_tpu.estimation.conditional_ite` diagonal exactly
     (tests/test_large_n.py).
     """
-    from ..ops.dist_linalg import _diag_block
-    from ..ops.kernels import rbf_kernel_log
-    from jax.scipy.linalg import solve_triangular
-
     mesh = mesh if mesh is not None else n_mesh()
     n_dev = mesh.devices.size
     t = np.asarray(t)
@@ -642,8 +643,6 @@ def conditional_ite_large_n(
     nx = 0 if x is None else int(np.asarray(x).shape[1])
     n_padded = _padded_size(n, n_dev, block)
     n_pad = n_padded - n
-    n_local = n_padded // n_dev
-    n_cols = n_padded + 2  # [G' | Y | G'1]
 
     t_j = jnp.asarray(t, dtype=dtype)
     do_vec = jnp.broadcast_to(jnp.asarray(do_t, dtype=dtype), (n,))
@@ -662,10 +661,32 @@ def conditional_ite_large_n(
     intv_p = _pad_features(_y_feats(do_vec, params), n_pad)
     scale = jnp.asarray(params.y_scale, dtype=dtype)
     noise = jnp.asarray(params.y_noise, dtype=dtype)
-    jitter = _rel_jitter(scale, noise, dtype)
     pred_noise = jnp.asarray(prediction_covariance_noise, dtype=dtype)
 
+    program = _ite_program(mesh, n, n_padded, block, unroll, jnp.dtype(dtype).name)
+    mean_p, var_p, cov_sum = program(obs_p, intv_p, y_p, scale, noise)
+    mean_ite = mean_p[:n]
+    var_ite = var_p[:n] + pred_noise
+    sate_mean = jnp.mean(mean_ite)
+    sate_var = (cov_sum + n * pred_noise) / (n * n)
+    return mean_ite, var_ite, sate_mean, sate_var
+
+
+@functools.lru_cache(maxsize=32)
+def _ite_program(mesh: Mesh, n: int, n_padded: int, block: int, unroll: int, dtype_name: str):
+    """Build + cache the jitted sharded conditioning program for a problem
+    shape (reused across posterior samples and doT values)."""
+    from ..ops.dist_linalg import _diag_block
+    from ..ops.kernels import rbf_kernel_log
+    from jax.scipy.linalg import solve_triangular
+
+    dtype = jnp.dtype(dtype_name)
+    n_dev = mesh.devices.size
+    n_local = n_padded // n_dev
+    n_cols = n_padded + 2  # [G' | Y | G'1]
+
     def shard_body(obs_p, intv_p, y_p, scale, noise):
+        jitter = _rel_jitter(scale, noise, dtype)
         rows = local_rows(N_AXIS, n_local)
         cols = jnp.arange(n_padded)
         ones = jnp.ones((), dtype=dtype)
@@ -740,10 +761,58 @@ def conditional_ite_large_n(
         )
         return -m_acc, diag_d - q_acc, sum_d - s_quad
 
-    shmap = jax.shard_map(shard_body, mesh=mesh, in_specs=P(), out_specs=P())
-    mean_p, var_p, cov_sum = jax.jit(shmap)(obs_p, intv_p, y_p, scale, noise)
-    mean_ite = mean_p[:n]
-    var_ite = var_p[:n] + pred_noise
-    sate_mean = jnp.mean(mean_ite)
-    sate_var = (cov_sum + n * pred_noise) / (n * n)
-    return mean_ite, var_ite, sate_mean, sate_var
+    return jax.jit(jax.shard_map(shard_body, mesh=mesh, in_specs=P(), out_specs=P()))
+
+
+def ite_distributions_large_n(
+    samples: GPSLCParams,
+    t,
+    y,
+    do_t,
+    *,
+    x=None,
+    mesh: Optional[Mesh] = None,
+    block: int = 256,
+    unroll: int = 1,
+    prediction_covariance_noise: float = 1e-10,
+    dtype=None,
+):
+    """Batched :func:`conditional_ite_large_n` over a stacked posterior
+    pytree (leading dim S, e.g. ``GPSLCObject.retained_samples()``).
+
+    The large-N analog of :func:`causalgpslc_tpu.estimation.ite_distributions`
+    (``ITEDistributions``, ``src/estimation.jl:66-86``) returning per-sample
+    per-individual MARGINAL moments instead of full covariances:
+    ``(mean_ites (S, n), var_ites (S, n), sate_means (S,), sate_vars (S,))``.
+    Host loop over samples; the sharded program compiles once and is reused.
+    """
+    n_s = int(np.asarray(jax.tree.leaves(samples)[0]).shape[0])
+    means, vars_, sm, sv = [], [], [], []
+    for i in range(n_s):
+        p_i = jax.tree.map(lambda a: None if a is None else a[i], samples)
+        m, v, a, b = conditional_ite_large_n(
+            p_i, t, y, do_t, x=x, mesh=mesh, block=block, unroll=unroll,
+            prediction_covariance_noise=prediction_covariance_noise, dtype=dtype,
+        )
+        means.append(m)
+        vars_.append(v)
+        sm.append(a)
+        sv.append(b)
+    return (jnp.stack(means), jnp.stack(vars_), jnp.stack(sm), jnp.stack(sv))
+
+
+def ite_samples_marginal(key, mean_ites, var_ites, n_per_mixture: int):
+    """Per-individual mixture draws from marginal moments, shape
+    ``(n, S * n_per_mixture)`` — the reference's ``ITEsamples`` column layout
+    (``src/estimation.jl:95-109``) with independent per-individual draws.
+
+    Per-individual marginals match the dense ``ite_samples`` exactly (each
+    row of an MVN draw is a univariate normal at that row's marginal
+    moments), so ``summarize_estimates``'s per-row quantiles are unchanged;
+    only cross-individual correlations within one draw are dropped — which
+    no reference output consumes.
+    """
+    s, n = mean_ites.shape
+    z = jax.random.normal(key, (s, n_per_mixture, n), dtype=mean_ites.dtype)
+    draws = mean_ites[:, None, :] + jnp.sqrt(var_ites)[:, None, :] * z
+    return draws.reshape(s * n_per_mixture, n).T

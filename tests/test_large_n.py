@@ -244,3 +244,48 @@ def test_conditional_ite_large_n_matches_dense(nx):
     )
     assert float(sate_mean_s) == pytest.approx(float(sate_mean_d), rel=1e-9)
     assert float(sate_var_s) == pytest.approx(float(sate_var_d), rel=1e-6)
+
+
+def test_ite_distributions_large_n_end_to_end():
+    """Batched sharded ITE over a stacked posterior pytree + marginal mixture
+    draws: per-individual summaries must agree with the dense
+    ite_distributions path (means exact; CI bounds statistically, since the
+    marginal sampler drops only cross-individual correlations, which per-row
+    quantiles never see)."""
+    from causalgpslc_tpu import estimation
+    from causalgpslc_tpu.models.state import init_from_prior
+    from causalgpslc_tpu.parallel.large_n import (
+        ite_distributions_large_n,
+        ite_samples_marginal,
+    )
+
+    n = 32
+    counts = [8, 8, 8, 8]
+    rng = np.random.default_rng(12)
+    t = rng.normal(size=n)
+    y = 0.5 * t + rng.normal(size=n) * 0.4
+    spec = ModelSpec(n=n, n_u=1, n_x=None, binary_t=False)
+    data = ModelData(
+        t=jnp.asarray(t), y=jnp.asarray(y),
+        sigma_u=jnp.asarray(generate_sigma_u(counts)),
+    )
+    pp = default_prior_parameters()
+    # stack 3 prior draws as a fake posterior
+    ps = [init_from_prior(jax.random.PRNGKey(s), spec, pp, data) for s in range(3)]
+    samples = jax.tree.map(lambda *ls: jnp.stack(ls), *ps)
+
+    mean_s, var_s, sate_m, sate_v = ite_distributions_large_n(
+        samples, t, y, 0.4, mesh=n_mesh(8), block=4
+    )
+    mean_d, cov_d = estimation.ite_distributions(spec, data, samples, 0.4)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_d), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(var_s),
+        np.asarray(jax.vmap(jnp.diagonal)(cov_d)),
+        rtol=1e-6, atol=1e-12,
+    )
+    assert sate_m.shape == (3,) and sate_v.shape == (3,)
+
+    draws = ite_samples_marginal(jax.random.PRNGKey(0), mean_s, var_s, 5)
+    assert draws.shape == (n, 3 * 5)
+    assert np.isfinite(np.asarray(draws)).all()
