@@ -115,7 +115,9 @@ def dist_cholesky(a_loc: jax.Array, *, axis: str, block: int = 256, unroll: int 
         lp = solve_triangular(lkk, panel.T, lower=True).T
         full = lax.all_gather(lp, axis, tiled=True)  # (N, B)
         colmask = (cols >= ofs + block).astype(a.dtype)
-        a = a - (lp @ full.T) * colmask[None, :]
+        # HIGHEST precision: bf16 Schur updates accumulate enough error over
+        # the panels to push the trailing matrix indefinite (NaN sqrt) in f32
+        a = a - jnp.matmul(lp, full.T, precision=jax.lax.Precision.HIGHEST) * colmask[None, :]
         return lax.dynamic_update_slice(a, lp, (_i32(0), _i32(ofs)))
 
     a_loc = lax.fori_loop(0, n_panels, body, a_loc, unroll=unroll)
@@ -152,7 +154,7 @@ def dist_forward_solve_quad(
         zk = lax.psum(jnp.where(d == owner, zk, jnp.zeros_like(zk)), axis)
         lpanel = lax.dynamic_slice(l_loc, (_i32(0), _i32(ofs)), (n_local, block))
         # Rows above the panel have L == 0 there, so this is a no-op for them.
-        part = part + lpanel @ zk
+        part = part + jnp.matmul(lpanel, zk, precision=jax.lax.Precision.HIGHEST)
         return part, quad + jnp.sum(zk * zk)
 
     zero = jnp.zeros_like(y_loc)
@@ -218,6 +220,11 @@ def dist_rbf_cov_rows(
         part = rbf_kernel_log(x2d[rows], x2d, ls, method="dot")
         log_k = part if log_k is None else log_k + part
     n = log_k.shape[-1]
+    # A SUM of log-RBF blocks is <= 0 exactly; the clamp re-asserts the
+    # invariant after float rounding across blocks (each block is already
+    # clamped in rbf_kernel_log, whose dot path also forces f32 matmul
+    # precision — essential for the sentinel pads, see ops/kernels.py).
+    log_k = jnp.minimum(log_k, 0.0)
     cov = jnp.exp(log_k) * scale
     diag = jnp.full((n,), noise, dtype=cov.dtype)
     if extra_diag is not None:

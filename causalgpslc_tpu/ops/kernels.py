@@ -93,7 +93,14 @@ def rbf_kernel_log(
     if method == "dot":
         sq1 = jnp.sum(z1 * z1, axis=-1)
         sq2 = jnp.sum(z2 * z2, axis=-1)
-        cross = z1 @ z2.T
+        # HIGHEST matmul precision: the TPU default (bfloat16 MXU passes)
+        # carries ~0.4% relative error, which for large-coordinate points
+        # (the large-N path's 1e4-scale sentinel pads: |z|^2 ~ 1e12) swamps
+        # the true squared distance (~1e8) — the clamp below then floors it
+        # to 0 and a padded point acquires FULL covariance with every real
+        # point, destroying positive-definiteness. f32 accumulation keeps
+        # the cancellation error at ~1e5, 1000x below the signal.
+        cross = jnp.matmul(z1, z2.T, precision=jax.lax.Precision.HIGHEST)
         sq = sq1[:, None] + sq2[None, :] - 2.0 * cross
         # Cancellation can leave tiny negatives; the true value is <= 0 anyway.
         return -jnp.maximum(sq, 0.0)

@@ -428,7 +428,7 @@ def run_mcmc_large_n(
         all_gather). The sentinel-padded cov is block-diagonal so rows [:n]
         involve only the real block."""
         z = jax.random.normal(nk, (n_padded,), dtype=dtype)
-        loc = l_loc @ z  # (Nl,)
+        loc = jnp.matmul(l_loc, z, precision=jax.lax.Precision.HIGHEST)  # (Nl,)
         rows = local_rows(N_AXIS, n_local)
         full = jnp.zeros((n_padded,), dtype=dtype).at[rows].set(loc)
         return lax.psum(full, N_AXIS)[:n]
@@ -666,7 +666,11 @@ def conditional_ite_large_n(
     program = _ite_program(mesh, n, n_padded, block, unroll, jnp.dtype(dtype).name)
     mean_p, var_p, cov_sum = program(obs_p, intv_p, y_p, scale, noise)
     mean_ite = mean_p[:n]
-    var_ite = var_p[:n] + pred_noise
+    # clamp at 0 before the stabilizer: diag(D) - colsums(W^2) is a
+    # difference of large quantities, and in float32 its cancellation error
+    # can exceed the tiny CovITE scale (the dense engine's f32 path has the
+    # same issue and projects to PSD via eigh; marginal variances clamp)
+    var_ite = jnp.maximum(var_p[:n], 0.0) + pred_noise
     sate_mean = jnp.mean(mean_ite)
     sate_var = (cov_sum + n * pred_noise) / (n * n)
     return mean_ite, var_ite, sate_mean, sate_var
@@ -693,9 +697,16 @@ def _ite_program(mesh: Mesh, n: int, n_padded: int, block: int, unroll: int, dty
         # row shards of the three kernel blocks (pad rows/cols masked to 0 —
         # the pad block must not leak into G/D reductions)
         mask = ((rows < n)[:, None] & (cols < n)[None, :]).astype(dtype)
-        m_loc = scale * jnp.exp(rbf_kernel_log(obs_p[rows], obs_p, ones, method="dot"))
-        s_loc = scale * jnp.exp(rbf_kernel_log(obs_p[rows], intv_p, ones, method="dot"))
-        ss_loc = scale * jnp.exp(rbf_kernel_log(intv_p[rows], intv_p, ones, method="dot"))
+
+        def _k(a, b):
+            # rbf_kernel_log's dot path clamps at <= 0 and runs the cross
+            # matmul at f32 precision (both essential for the sentinel pads;
+            # see the comment in ops/kernels.py)
+            return scale * jnp.exp(rbf_kernel_log(a, b, ones, method="dot"))
+
+        m_loc = _k(obs_p[rows], obs_p)
+        s_loc = _k(obs_p[rows], intv_p)
+        ss_loc = _k(intv_p[rows], intv_p)
         onehot = (cols[None, :] == rows[:, None]).astype(dtype)
         p_loc = m_loc + onehot * (noise + jitter)  # pad diag = scale + noise: SPD
         m_loc = m_loc * mask
@@ -739,11 +750,14 @@ def _ite_program(mesh: Mesh, n: int, n_padded: int, block: int, unroll: int, dty
                 l_loc, (jnp.asarray(0, jnp.int32), jnp.asarray(ofs, jnp.int32)),
                 (n_local, block),
             )
-            part = part + lpanel @ zk
+            # HIGHEST matmul precision throughout: bf16 substitution updates
+            # compound across panels (see ops/dist_linalg.dist_cholesky)
+            hi = jax.lax.Precision.HIGHEST
+            part = part + jnp.matmul(lpanel, zk, precision=hi)
             w_k, u_k, e_k = zk[:, :n_padded], zk[:, n_padded], zk[:, n_padded + 1]
             return (
                 part,
-                m_acc + w_k.T @ u_k,
+                m_acc + jnp.matmul(w_k.T, u_k, precision=hi),
                 q_acc + jnp.sum(w_k * w_k, axis=0),
                 s_quad + jnp.sum(e_k * e_k),
             )

@@ -132,3 +132,30 @@ def test_sharded_gp_logpdf_matches_dense(n):
     cov = jnp.exp(rbf_kernel_log(feats, feats, jnp.ones(()))) * scale + noise * jnp.eye(n)
     want = float(mvn_logpdf(y, cov))
     assert got == pytest.approx(want, rel=1e-10)
+
+
+def test_sharded_gp_logpdf_float32_with_padding():
+    """float32 + sentinel padding regression: the dot-form log-RBF on the
+    O(1e4) sentinel coordinates cancels catastrophically in f32 (error
+    ~|a|^2 * eps ~ 1e5), and exp(+1e5) = inf NaN'd the distributed Cholesky
+    before the <=0 clamp. N chosen to force pad rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from causalgpslc_tpu.ops.linalg import mvn_logpdf
+    from causalgpslc_tpu.parallel.large_n import n_mesh, sharded_gp_logpdf
+
+    n = 52  # pads to 64 on the 8-way mesh at block=8
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.normal(size=(n, 2)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+    got = sharded_gp_logpdf(f, y, 1.3, 0.6, mesh=n_mesh(8), block=8)
+    assert np.isfinite(float(got))
+    # dense f32 reference with the same relative jitter policy
+    from causalgpslc_tpu.ops.kernels import process_cov, rbf_kernel_log
+
+    jit = 1e-5 * (1.3 + 0.6)
+    cov = process_cov(rbf_kernel_log(f, f, jnp.float32(1.0)), 1.3, 0.6 + jit)
+    want = float(mvn_logpdf(y, cov.astype(jnp.float32)))
+    assert float(got) == pytest.approx(want, rel=2e-4)
