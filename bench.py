@@ -90,6 +90,9 @@ def main():
     # speedup (draws/s ratio); the alternates remain selectable via env.
     adapt = os.environ.get("BENCH_ADAPT", "0") == "1"
     blocked = os.environ.get("BENCH_BLOCKED", "0") == "1"
+    # grouped = the site sweep's chain EXECUTED with disjoint-block rounds
+    # sharing one stacked factorization (bit-identical samples; mh.py)
+    grouped = os.environ.get("BENCH_GROUPED", "0") == "1"
     hp = cg.default_hyperparameters(
         n_u=1,
         n_outer=N_OUTER,
@@ -99,6 +102,7 @@ def main():
         n_chains=N_CHAINS,
         adapt_proposals=adapt,
         mh_block_sweep=blocked,
+        mh_grouped_sweep=grouped,
         # rolled inner loops by default: measured ess/s is identical to the
         # unrolled program (136x vs 135x baseline, round 2) but the cold
         # remote compile is several times cheaper (~15 min vs 30-60 min) —

@@ -50,10 +50,20 @@ class HyperParameters:
     adapt_proposals: bool = False
     target_accept: float = 0.44
     # Joint per-GP-block MH proposals (one factorization per block instead of
-    # one per site) — the TPU fast path for op-latency-bound sweeps. Valid MH
-    # for the same posterior; default False preserves the reference's
-    # site-by-site sweep semantics.
+    # one per site) — trades per-site acceptance for a ~10x smaller op count.
+    # Valid MH for the same posterior; default False preserves the
+    # reference's site-by-site sweep semantics. Measured (round 3,
+    # BASELINE.md): mixes ~2.5x worse per draw at the 48-outer horizon and
+    # loses to the site sweep on ess/s.
     mh_block_sweep: bool = False
+    # Latency-compressed execution of the SITE sweep: consecutive moves on
+    # disjoint GP blocks (u / t / y / each x column) are conditionally
+    # independent, so each greedy round of distinct-block moves shares ONE
+    # stacked factorization and accepts each move independently — the SAME
+    # Markov chain as the sequential sweep, bit-for-bit (regression-tested),
+    # at ~2-3.5x fewer sequential factorization rounds (8 moves -> 4 rounds
+    # NoCov; 21 -> 6 for U+X nX=2). Ignored when mh_block_sweep=True.
+    mh_grouped_sweep: bool = False
     # Inner-loop compilation strategy. True statically unrolls the nMHInner
     # MH sweeps and nESInner ES sweeps into straight-line XLA — fastest at
     # runtime on the axon backend (While iterations pay a fixed dispatch

@@ -41,7 +41,7 @@ from ..ops.distributions import bernoulli_logit_logpdf
 from ..ops.blocked_chol import CholFactors, blocked_cholesky, mvn_logpdf_b
 from ..ops.linalg import mvn_logpdf_chol, quantum_free_mode, stabilize_cov
 from .ess import ess_update
-from .mh import block_sites, mh_blocked_sweep, mh_sweep, sweep_moves
+from .mh import block_sites, mh_blocked_sweep, mh_grouped_sweep, mh_sweep, sweep_moves
 
 __all__ = ["StepStats", "make_outer_step", "make_chain_runner", "run_mcmc"]
 
@@ -67,7 +67,12 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
     """Build the jittable single-chain outer step ``(params, data, key) -> (params, stats)``."""
     use_blocked = hp.mh_block_sweep
     wide = (hp.mh_wide_drift, hp.mh_wide_prob) if hp.mh_wide_drift else None
-    base_sweep = mh_blocked_sweep if use_blocked else mh_sweep
+    if use_blocked:
+        base_sweep = mh_blocked_sweep
+    elif hp.mh_grouped_sweep:
+        base_sweep = mh_grouped_sweep
+    else:
+        base_sweep = mh_sweep
     sweep_fn = partial(base_sweep, wide=wide)
     n_moves = len(block_sites(spec)) if use_blocked else len(sweep_moves(spec))
     n_mh_inner = hp.n_mh_inner if (_has_mh_inner_loop(spec) and hp.n_mh_inner) else 1

@@ -38,7 +38,7 @@ from ..ops.distributions import inv_gamma_logpdf
 from ..ops.linalg import stacked_mvn_logliks
 from .proposal import propose, proposal_logpdf
 
-__all__ = ["sweep_moves", "mh_move", "mh_sweep"]
+__all__ = ["sweep_moves", "mh_move", "mh_sweep", "mh_blocked_sweep", "grouped_rounds", "mh_grouped_sweep"]
 
 Move = Tuple[str, Optional[tuple]]
 
@@ -351,3 +351,123 @@ def mh_blocked_sweep(
         accepts.append(accept.astype(dtype))
 
     return params, lps, jnp.stack(accepts)
+
+
+# ---------------------------------------------------------------------------
+# Grouped sweep: the reference's site-by-site chain, latency-compressed
+# ---------------------------------------------------------------------------
+#
+# The per-site sweep pays one factorize+solve of ~6-7 ms op latency PER MOVE
+# on the axon backend (BASELINE.md) — ~80 sequential rounds per outer
+# iteration at reference budgets. But consecutive moves that touch DISJOINT
+# blocks (u-block, t-block, y-block, each x column) are conditionally
+# independent given the latents: move A's accepted site never enters move
+# B's density or proposal, so executing them from the shared pre-round state
+# and accepting each independently reproduces the sequential composition
+# EXACTLY — same proposals, same acceptance decisions, same chain,
+# bit-for-bit (tested) — while their fresh-block evaluations share ONE
+# stacked factorization. Reference order is preserved; rounds are the
+# greedy packing of consecutive non-conflicting moves (8 moves -> 4 rounds
+# for the NoCov model, 21 -> 6 for the full U+X nX=2 model).
+
+
+def grouped_rounds(spec: ModelSpec) -> list:
+    """Greedy packing of ``sweep_moves`` into rounds of distinct blocks."""
+    rounds, cur, used = [], [], set()
+    for i, (field, idx) in enumerate(sweep_moves(spec)):
+        b = field_block(field)
+        bkey = (b, idx[0]) if b == "x" else b
+        if bkey in used:
+            rounds.append(cur)
+            cur, used = [], set()
+        cur.append((i, field, idx))
+        used.add(bkey)
+    if cur:
+        rounds.append(cur)
+    return rounds
+
+
+def mh_grouped_sweep(
+    key: jax.Array,
+    spec: ModelSpec,
+    priors: dict,
+    data: ModelData,
+    params: GPSLCParams,
+    lps: BlockLps,
+    drifts=None,
+    wide=None,
+):
+    """One full sweep, bit-identical to :func:`mh_sweep` (same RNG streams,
+    same chain) with disjoint-block moves evaluated per round in one stacked
+    factorization. Returns (params, lps, accepts) shaped like ``mh_sweep``.
+    """
+    from ..models.blocks import t_cov, u_cov, x_cov_k, y_cov
+
+    dtype = data.y.dtype
+    n_moves = len(sweep_moves(spec))
+    accepts: list = [None] * n_moves
+
+    for rnd in grouped_rounds(spec):
+        covs, targets, metas = [], [], []
+        pos = 0
+        for (i, field, idx) in rnd:
+            drift = (priors["drift"] if drifts is None else drifts[i])
+            k_prop, k_acc = jax.random.split(jax.random.fold_in(key, i))
+            cur_arr = getattr(params, field)
+            cur = cur_arr[idx] if idx is not None else cur_arr
+            prop = propose(k_prop, cur, drift, wide)
+            new_arr = cur_arr.at[idx].set(prop) if idx is not None else prop
+            p_prop = params._replace(**{field: new_arr})
+
+            block = field_block(field)
+            xk = idx[0] if block == "x" and idx is not None else None
+            if block == "u":
+                uc = u_cov(data, p_prop)
+                covs.append(jnp.broadcast_to(uc, (spec.n_u,) + uc.shape))
+                targets.append(params.u.T)
+                seg = slice(pos, pos + spec.n_u)
+                pos += spec.n_u
+            elif block == "t":
+                covs.append(t_cov(spec, data, p_prop)[None])
+                targets.append((params.logit_t if spec.binary_t else data.t)[None])
+                seg = pos
+                pos += 1
+            elif block == "y":
+                covs.append(y_cov(spec, data, p_prop)[None])
+                targets.append(data.y[None])
+                seg = pos
+                pos += 1
+            else:  # x column xk
+                covs.append(x_cov_k(data, p_prop, xk)[None])
+                targets.append(data.x[:, xk][None])
+                seg = pos
+                pos += 1
+            metas.append((i, field, idx, cur, prop, k_acc, seg, block, xk, drift))
+
+        lp_each = stacked_mvn_logliks(
+            jnp.concatenate(covs, axis=0), jnp.concatenate(targets, axis=0)
+        )
+
+        for (i, field, idx, cur, prop, k_acc, seg, block, xk, drift) in metas:
+            new_lp = jnp.sum(lp_each[seg]) if isinstance(seg, slice) else lp_each[seg]
+            cur_lp = lps.x[xk] if block == "x" else getattr(lps, block)
+            stem = FIELD_PRIOR_NAMES[field]
+            pr_s, pr_c = priors[stem + "Shape"], priors[stem + "Scale"]
+            log_alpha = (
+                (new_lp - cur_lp)
+                + (inv_gamma_logpdf(prop, pr_s, pr_c) - inv_gamma_logpdf(cur, pr_s, pr_c))
+                + (proposal_logpdf(cur, prop, drift, wide) - proposal_logpdf(prop, cur, drift, wide))
+            )
+            accept = (jnp.log(jax.random.uniform(k_acc, dtype=cur.dtype)) < log_alpha) & jnp.isfinite(new_lp)
+            out_val = jnp.where(accept, prop, cur)
+            cur_arr = getattr(params, field)
+            out_arr = cur_arr.at[idx].set(out_val) if idx is not None else out_val
+            params = params._replace(**{field: out_arr})
+            out_lp = jnp.where(accept, new_lp, cur_lp)
+            if block == "x":
+                lps = lps._replace(x=lps.x.at[xk].set(out_lp))
+            else:
+                lps = lps._replace(**{block: out_lp})
+            accepts[i] = accept
+
+    return params, lps, jnp.stack(accepts).astype(dtype)

@@ -340,6 +340,14 @@ def run_mcmc_large_n(
     counts_t = tuple(int(c) for c in counts)
     drift = jnp.asarray(priors["drift"], dtype=dtype)
     eps = float(priors.get("sigmaUNoise", 1e-13))
+    if dtype == jnp.float32 and eps < 1e-5:
+        # f32 stabilization, mirroring the dense engine's stabilize_cov
+        # relative floor: the Sherman-Morrison U-prior divides by
+        # a = uNoise * eps, and at eps=1e-13 the f32 cancellation error in
+        # the quadratic form (~1e-8 absolute) is amplified by 1/a into 1e9+
+        # garbage log-densities (observed at N=5000 on-chip). The dense f32
+        # path floors SigmaU's effective eps at ~1e-5 the same way.
+        eps = 1e-5
     ucov = float(priors.get("sigmaUCov", 1.0))
     priors_j = {k: jnp.asarray(v, dtype=dtype) for k, v in priors.items() if k != "SigmaU"}
 

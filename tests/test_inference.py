@@ -408,3 +408,27 @@ def test_ess_cap_never_binding():
     )
     _, stats, _ = run_mcmc_jit(jax.random.PRNGKey(5), spec, pp, data, hp)
     assert int(np.max(np.asarray(stats.ess_iters))) < 64
+
+
+@pytest.mark.parametrize("binary_t", [False, True])
+def test_grouped_sweep_bitwise_identical_to_site_sweep(binary_t):
+    """mh_grouped_sweep must reproduce the sequential site sweep's chain
+    bit-for-bit: disjoint-block moves executed from the shared pre-round
+    state with the same per-move RNG keys ARE the sequential composition
+    (no move's density or proposal involves another round-member's site)."""
+    jax.clear_caches()
+    spec, data = make_case(True, True, binary_t)
+    pp = cg.default_prior_parameters()
+    outs = {}
+    for grouped in (False, True):
+        hp = cg.default_hyperparameters(
+            n_u=spec.n_u, n_outer=4, n_mh_inner=3, n_es_inner=2, n_burn_in=1,
+            n_chains=2, mh_grouped_sweep=grouped, inner_unroll=False,
+        )
+        s, _, _ = run_mcmc_jit(jax.random.PRNGKey(11), spec, pp, data, hp)
+        outs[grouped] = s
+    for f in outs[False]._fields:
+        a, b = getattr(outs[False], f), getattr(outs[True], f)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)

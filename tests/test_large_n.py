@@ -289,3 +289,29 @@ def test_ite_distributions_large_n_end_to_end():
     draws = ite_samples_marginal(jax.random.PRNGKey(0), mean_s, var_s, 5)
     assert draws.shape == (n, 3 * 5)
     assert np.isfinite(np.asarray(draws)).all()
+
+
+def test_run_mcmc_large_n_float32_sane_log_joint():
+    """f32 eps-floor regression: at the reference's sigmaUNoise=1e-13 the
+    Sherman-Morrison U-prior divides by a = uNoise * eps, and f32
+    cancellation error (~1e-8) amplified by 1/a produced 1e9-scale garbage
+    log-densities (observed on-chip at N=5000). The structured path floors
+    the effective eps at 1e-5 in f32 (the dense engine's stabilize_cov
+    policy); log-joints must stay physically plausible."""
+    counts = [4] * 16
+    n = sum(counts)
+    rng = np.random.default_rng(20)
+    t = rng.normal(size=n)
+    y = 0.7 * t + rng.normal(size=n) * 0.3
+    hp = default_hyperparameters().replace(
+        n_outer=4, n_mh_inner=4, n_es_inner=2, n_chains=1, n_burn_in=1
+    )
+    _, stats, _ = run_mcmc_large_n(
+        jax.random.key(21), t, y, counts, hp=hp, mesh=n_mesh(8), block=4,
+        dtype=jnp.float32,
+    )
+    lj = np.asarray(stats.log_joint)
+    assert np.all(np.isfinite(lj))
+    # a NoCov model at N=64 has |log joint| in the hundreds; the broken f32
+    # path produced 1e7+ magnitudes even at small N
+    assert np.all(np.abs(lj) < 1e5), lj
