@@ -86,3 +86,84 @@ def test_two_process_chain_sharding(tmp_path):
     acc = [line for out in outs for line in out.splitlines() if "accept=" in line]
     vals = {line.split("accept=")[1] for line in acc}
     assert len(vals) == 1, f"pooled stats diverged: {acc}"
+
+
+LARGE_N_WORKER = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=int(sys.argv[2]),
+    process_id=int(sys.argv[3]),
+)
+import numpy as np
+
+from causalgpslc_tpu.hyperparameters import default_hyperparameters
+from causalgpslc_tpu.ops.kernels import process_cov, rbf_kernel_log
+from causalgpslc_tpu.ops.linalg import mvn_logpdf
+from causalgpslc_tpu.parallel.large_n import n_mesh, run_mcmc_large_n, sharded_gp_logpdf
+
+# N x N covariance row-sharded over FOUR devices spanning TWO processes:
+# the distributed Cholesky's psum/all_gather cross the process boundary.
+rng = np.random.default_rng(0)
+n = 24
+f = rng.normal(size=(n, 2))
+y = rng.normal(size=n)
+mesh = n_mesh()  # all 4 global devices
+got = float(sharded_gp_logpdf(f, y, 1.2, 0.4, mesh=mesh, block=2))
+want = float(mvn_logpdf(jax.numpy.asarray(y), process_cov(rbf_kernel_log(f, f, 1.0), 1.2, 0.4)))
+assert abs(got - want) < 1e-8 * max(1.0, abs(want)), (got, want)
+
+counts = [6, 6, 6, 6]
+t = rng.normal(size=n)
+yy = 0.5 * t + rng.normal(size=n) * 0.4
+hp = default_hyperparameters().replace(n_outer=2, n_mh_inner=1, n_es_inner=1, n_burn_in=1)
+_, stats, _ = run_mcmc_large_n(jax.random.key(1), t, yy, counts, hp=hp, mesh=mesh, block=2)
+lj = np.asarray(stats.log_joint)
+assert np.all(np.isfinite(lj))
+print(f"RANK{sys.argv[3]} OK devices={len(jax.devices())} "
+      f"local={len(jax.local_devices())} gp={got:.9f} lj={float(lj[-1]):.6f}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_large_n_sharding(tmp_path):
+    """Row-sharded covariances over a 4-device n-mesh spanning two processes
+    (the DCN analog): the distributed Cholesky's collectives cross the
+    process boundary, the log-density matches the dense value exactly, and a
+    sharded MCMC step completes identically on both ranks."""
+    worker = tmp_path / "worker_ln.py"
+    worker.write_text(LARGE_N_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    repo_root = str(pathlib.Path(__file__).parent.parent)
+    env_base = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(rank)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env_base,
+            cwd=repo_root,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"RANK{rank} OK devices=4 local=2" in out, out
+    # collective results agree bitwise across processes
+    vals = {line.split("gp=")[1] for out in outs for line in out.splitlines() if "gp=" in line}
+    assert len(vals) == 1, f"cross-process results diverged: {vals}"
