@@ -123,6 +123,7 @@ def main():
         samples, stats, _ = run_mcmc_checkpointed(
             jax.random.PRNGKey(seed), spec, pp, data, hp,
             checkpoint_path=None, checkpoint_every=CHUNK,
+            scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
         )
         return samples
 

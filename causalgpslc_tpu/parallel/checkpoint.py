@@ -100,6 +100,7 @@ def run_mcmc_checkpointed(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 8,
     progress_callback=None,
+    scan_unroll: int = 1,
 ):
     """Chunked chain-batched MCMC with periodic state snapshots.
 
@@ -126,7 +127,13 @@ def run_mcmc_checkpointed(
             p, stats = outer_step(p, data, k, drifts if hp.adapt_proposals else None)
             return p, (p, stats)
 
-        return jax.lax.scan(body, params, jax.random.split(chunk_key, n_steps))
+        # scan_unroll > 1 executes that many outer iterations per XLA While
+        # iteration (identical samples): on the axon backend each While
+        # iteration pays a fixed dispatch quantum, so unrolling trades
+        # compile time for fewer quanta per chunk.
+        return jax.lax.scan(
+            body, params, jax.random.split(chunk_key, n_steps), unroll=scan_unroll
+        )
 
     run_chunk_chains = jax.jit(
         jax.vmap(run_chunk, in_axes=(0, 0, None, None)), static_argnames=("n_steps",)

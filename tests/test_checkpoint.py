@@ -101,3 +101,21 @@ def test_pooled_adaptation_in_chunked_runner(tmp_path):
     )
     assert samples.ty_ls.shape == (4, 12)
     assert stuck_sites(samples) == []
+
+
+def test_scan_unroll_bitwise_identical():
+    """scan_unroll>1 executes several outer iterations per XLA While
+    iteration — same RNG stream, bit-identical samples."""
+    spec, pp, data, hp = setup()
+    key = jax.random.PRNGKey(9)
+    outs = {}
+    for u in (1, 3):
+        s, _, _ = run_mcmc_checkpointed(
+            key, spec, pp, data, hp, None, checkpoint_every=6, scan_unroll=u
+        )
+        outs[u] = s
+    for f in outs[1]._fields:
+        a, b = getattr(outs[1], f), getattr(outs[3], f)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
