@@ -52,11 +52,11 @@ def make_synthetic(n: int, rng: np.random.Generator):
 def _wide_drift_from_env():
     """Wide-jump mixture variance; BENCH_WIDE_DRIFT<=0 explicitly disables
     the wide component (None), matching gibbs.py's truthiness gate.
-    Off by default since round 3 (measured slower at the 48-outer horizon:
-    wide jumps land in regions where the ESS angle-shrinkage loop runs long,
-    and every While iteration costs a dispatch quantum on axon)."""
+    Default 100 at p=0.3: the measured round-3 winner on the site sweep
+    (1.97 vs 1.58 ess/s without it); wider/more-frequent jumps measured
+    SLOWER (they land chains where the ESS angle-shrinkage loop runs long)."""
     if "BENCH_WIDE_DRIFT" not in os.environ:
-        return None
+        return 100.0
     v = float(os.environ["BENCH_WIDE_DRIFT"])
     return v if v > 0 else None
 
