@@ -27,6 +27,12 @@ from .api import (
     sample_sate,
     summarize_estimates,
 )
+from .api_large_n import (
+    LargeNGPSLC,
+    gpslc_large_n,
+    sample_ite_large_n,
+    sample_sate_large_n,
+)
 from .data import PreparedData, prepare_data
 from .hyperparameters import (
     HyperParameters,

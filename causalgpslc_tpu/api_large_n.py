@@ -1,0 +1,183 @@
+"""User-level large-N driver: the ``gpslc`` story at N = 5k-50k.
+
+The dense driver (:mod:`causalgpslc_tpu.api`) materializes the (n, n)
+SigmaU and conditions with dense (S, n, n) covariance blocks — fine to a
+few thousand rows, impossible at 50k (a single n x n float32 matrix is
+10 GB). This module wires the row-sharded engine into the same user flow
+as the reference driver (``/root/reference/src/driver.jl:27-44`` ->
+``sampleITE``/``sampleSATE``/``summarizeEstimates``):
+
+    g = gpslc_large_n("big.csv", mesh=n_mesh())     # sharded MCMC
+    ite = sample_ite_large_n(g, do_t=0.6)           # sharded conditioning
+    summarize_estimates(ite)                        # same summary API
+
+Covariances are row-sharded over the ``"n"`` mesh axis throughout (MCMC:
+:func:`~causalgpslc_tpu.parallel.large_n.run_mcmc_large_n`; estimation:
+:func:`~causalgpslc_tpu.parallel.large_n.ite_distributions_large_n`), the
+U prior uses the O(N) Sherman-Morrison forms, and the dense SigmaU is
+never built (``prepare_data(..., build_sigma_u=False)``).
+
+Only the with-confounder variants run here (an ``obj`` column is
+required): without latent confounders there is no SigmaU to shard around,
+and the NoU variants stay on the dense engine (see
+``parallel/large_n.py``'s module docstring).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .data import PreparedData, prepare_data
+from .hyperparameters import HyperParameters, default_hyperparameters, default_prior_parameters
+from .models.spec import GPSLCParams
+from .parallel.large_n import (
+    ite_distributions_large_n,
+    ite_samples_marginal,
+    n_mesh,
+    run_mcmc_large_n,
+)
+from .utils.structure import object_counts
+
+__all__ = [
+    "LargeNGPSLC",
+    "gpslc_large_n",
+    "sample_ite_large_n",
+    "sample_sate_large_n",
+]
+
+
+@dataclasses.dataclass
+class LargeNGPSLC:
+    """Data + configuration + posterior samples for a sharded large-N run.
+
+    The large-N counterpart of :class:`causalgpslc_tpu.api.GPSLCObject`;
+    ``posterior_samples`` leaves lead with ``n_outer`` (single chain — chain
+    parallelism composes as a second mesh axis)."""
+
+    hyperparams: HyperParameters
+    priorparams: dict
+    t: np.ndarray
+    y: np.ndarray
+    x: Optional[np.ndarray]
+    counts: list
+    binary_t: bool
+    posterior_samples: GPSLCParams
+    stats: object
+    mesh: object
+    block: int
+
+    @property
+    def n(self) -> int:
+        return int(self.t.shape[0])
+
+    def retained_samples(self) -> GPSLCParams:
+        """Burn-in/thinned samples (leaves lead with S)."""
+        idx = np.asarray(self.hyperparams.retained_indices())
+        return jax.tree.map(lambda a: a[idx], self.posterior_samples)
+
+
+def gpslc_large_n(
+    data: Union[str, pd.DataFrame, PreparedData],
+    *,
+    hyperparams: Optional[HyperParameters] = None,
+    priorparams: Optional[dict] = None,
+    seed: int = 0,
+    mesh=None,
+    block: int = 256,
+    unroll: int = 1,
+    dtype=None,
+) -> LargeNGPSLC:
+    """Run sharded posterior inference on a large dataset.
+
+    Column conventions follow the reference driver (``T``, ``Y``, required
+    ``obj``, everything else covariates). The N x N covariances never
+    materialize on a single device; memory and FLOPs divide by the mesh
+    size."""
+    hp = hyperparams or default_hyperparameters()
+    pp = dict(default_prior_parameters())
+    if priorparams:
+        pp.update(priorparams)
+
+    prepared = (
+        data
+        if isinstance(data, PreparedData)
+        else prepare_data(data, pp["sigmaUNoise"], pp["sigmaUCov"], build_sigma_u=False)
+    )
+    if prepared.obj is None:
+        raise ValueError(
+            "gpslc_large_n requires object labels (an `obj` column): the "
+            "NoU variants have no N x N structure to shard — use gpslc()"
+        )
+    counts = object_counts(list(prepared.obj))
+    mesh = mesh if mesh is not None else n_mesh()
+
+    samples, stats, _final = run_mcmc_large_n(
+        jax.random.PRNGKey(seed),
+        prepared.t,
+        prepared.y,
+        counts,
+        x=prepared.x,
+        binary_t=prepared.binary_t,
+        n_u=hp.n_u or 1,
+        priors=pp,
+        hp=hp,
+        mesh=mesh,
+        block=block,
+        unroll=unroll,
+        dtype=dtype,
+    )
+    return LargeNGPSLC(
+        hyperparams=hp,
+        priorparams=pp,
+        t=np.asarray(prepared.t),
+        y=np.asarray(prepared.y),
+        x=None if prepared.x is None else np.asarray(prepared.x),
+        counts=counts,
+        binary_t=prepared.binary_t,
+        posterior_samples=samples,
+        stats=stats,
+        mesh=mesh,
+        block=block,
+    )
+
+
+def _ite_moments(g: LargeNGPSLC, do_t):
+    return ite_distributions_large_n(
+        g.retained_samples(), g.t, g.y, do_t, x=g.x, mesh=g.mesh, block=g.block,
+        prediction_covariance_noise=g.hyperparams.prediction_covariance_noise,
+    )
+
+
+def sample_ite_large_n(
+    g: LargeNGPSLC,
+    do_t,
+    samples_per_posterior: int = 10,
+    seed: int = 1,
+) -> np.ndarray:
+    """ITE posterior-mixture samples, shape ``(n, S * samples_per_posterior)``
+    (``sampleITE``, ``src/driver.jl:86-89``) from sharded conditioning;
+    feeds :func:`causalgpslc_tpu.api.summarize_estimates` unchanged."""
+    mean_s, var_s, _, _ = _ite_moments(g, do_t)
+    return np.asarray(
+        ite_samples_marginal(jax.random.PRNGKey(seed), mean_s, var_s, samples_per_posterior)
+    )
+
+
+def sample_sate_large_n(
+    g: LargeNGPSLC,
+    do_t,
+    samples_per_posterior: int = 10,
+    seed: int = 1,
+) -> np.ndarray:
+    """SATE posterior-mixture samples (``sampleSATE``, ``src/driver.jl:108-111``)."""
+    _, _, sate_means, sate_vars = _ite_moments(g, do_t)
+    s = sate_means.shape[0]
+    z = jax.random.normal(jax.random.PRNGKey(seed), (s, samples_per_posterior))
+    draws = sate_means[:, None] + jnp.sqrt(sate_vars)[:, None] * z.astype(sate_means.dtype)
+    return np.asarray(draws.reshape(-1))

@@ -56,6 +56,7 @@ def prepare_data(
     binary_treatment: Optional[bool] = None,
     verbose: bool = False,
     engine: str = "auto",
+    build_sigma_u: bool = True,
 ) -> PreparedData:
     """Sort by ``obj``, build SigmaU from group sizes, split T/Y/X columns.
 
@@ -65,9 +66,15 @@ def prepare_data(
 
     ``engine``: "auto" uses the native C++ parser for CSV paths when built
     (falling back to pandas), "native" requires it, "pandas" skips it.
+    ``build_sigma_u=False`` skips materializing the dense (n, n) SigmaU —
+    required at large N (50k rows would be a 20 GB matrix); the large-N
+    engine recovers the block structure from ``obj`` via ``object_counts``
+    and uses the O(N) Sherman-Morrison forms instead.
     """
     if isinstance(data, str) and engine in ("auto", "native"):
-        out = _prepare_native(data, confounder_eps, confounder_cov, binary_treatment, verbose)
+        out = _prepare_native(
+            data, confounder_eps, confounder_cov, binary_treatment, verbose, build_sigma_u
+        )
         if out is not None:
             return out
         if engine == "native":
@@ -77,7 +84,11 @@ def prepare_data(
     if "obj" in df.columns:
         df = df.sort_values("obj", kind="stable").reset_index(drop=True)
         counts = object_counts(df["obj"].tolist())
-        sigma_u = generate_sigma_u(counts, confounder_eps, confounder_cov)
+        sigma_u = (
+            generate_sigma_u(counts, confounder_eps, confounder_cov)
+            if build_sigma_u
+            else None
+        )
         obj = df["obj"].to_numpy()
     else:
         if verbose:
@@ -113,6 +124,7 @@ def _prepare_native(
     confounder_cov: float,
     binary_treatment: Optional[bool],
     verbose: bool,
+    build_sigma_u: bool = True,
 ) -> Optional[PreparedData]:
     """CSV -> PreparedData through the C++ fast parser (pandas-free path)."""
     from . import native
@@ -126,9 +138,12 @@ def _prepare_native(
         order = np.argsort(labels, kind="stable")
         labels = labels[order]
         counts = object_counts(labels.tolist())
-        sigma_u = native.sigma_u_native(counts, confounder_eps, confounder_cov)
-        if sigma_u is None:
-            sigma_u = generate_sigma_u(counts, confounder_eps, confounder_cov)
+        if build_sigma_u:
+            sigma_u = native.sigma_u_native(counts, confounder_eps, confounder_cov)
+            if sigma_u is None:
+                sigma_u = generate_sigma_u(counts, confounder_eps, confounder_cov)
+        else:
+            sigma_u = None
         obj = labels
     else:
         if verbose:

@@ -315,3 +315,47 @@ def test_run_mcmc_large_n_float32_sane_log_joint():
     # a NoCov model at N=64 has |log joint| in the hundreds; the broken f32
     # path produced 1e7+ magnitudes even at small N
     assert np.all(np.abs(lj) < 1e5), lj
+
+
+def test_gpslc_large_n_end_to_end(data_dir):
+    """User-level large-N flow on a real CSV: gpslc_large_n -> sharded
+    conditioning -> summarize_estimates, never materializing a dense
+    SigmaU (prepare_data(build_sigma_u=False)); plus the doT==T analytic
+    identity (counterfactual == factual => ITE exactly 0)."""
+    import causalgpslc_tpu as cg
+    from causalgpslc_tpu.parallel.large_n import ite_distributions_large_n
+
+    hp = cg.default_hyperparameters(
+        n_outer=4, n_mh_inner=2, n_es_inner=1, n_burn_in=2, n_u=1
+    )
+    g = cg.gpslc_large_n(
+        str(data_dir / "minimal.csv"), hyperparams=hp, seed=0,
+        mesh=n_mesh(8), block=2,
+    )
+    assert g.posterior_samples.ty_ls.shape == (hp.n_outer,)
+    assert g.x is not None  # minimal.csv has covariates
+
+    ite = cg.sample_ite_large_n(g, 0.5, samples_per_posterior=3)
+    assert ite.shape == (g.n, hp.n_posterior_samples * 3)
+    assert np.isfinite(ite).all()
+    df = cg.summarize_estimates(ite)
+    assert (df.LowerBound <= df.UpperBound).all()
+
+    sate = cg.sample_sate_large_n(g, 0.5, samples_per_posterior=3)
+    assert sate.shape == (hp.n_posterior_samples * 3,)
+    assert np.isfinite(sate).all()
+
+    # analytic identity: doT == T makes the counterfactual the factual
+    mean_s, var_s, sate_m, _ = ite_distributions_large_n(
+        g.retained_samples(), g.t, g.y, jnp.asarray(g.t), x=g.x,
+        mesh=n_mesh(8), block=2, prediction_covariance_noise=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(mean_s), 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_s), 0.0, atol=1e-8)
+
+
+def test_gpslc_large_n_requires_obj(data_dir):
+    import causalgpslc_tpu as cg
+
+    with pytest.raises(ValueError, match="obj"):
+        cg.gpslc_large_n(str(data_dir / "no_objects.csv"))
