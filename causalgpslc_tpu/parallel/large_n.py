@@ -82,6 +82,7 @@ __all__ = [
     "n_mesh",
     "sharded_gp_logpdf",
     "run_mcmc_large_n",
+    "run_mcmc_large_n_checkpointed",
     "conditional_ite_large_n",
     "ite_distributions_large_n",
     "ite_samples_marginal",
@@ -305,6 +306,8 @@ def run_mcmc_large_n(
     block: int = 256,
     unroll: int = 1,
     dtype=None,
+    init_params: Optional[GPSLCParams] = None,
+    step_keys: Optional[jax.Array] = None,
 ):
     """Sharded-N MCMC for the with-confounder GPSLC variants.
 
@@ -314,6 +317,11 @@ def run_mcmc_large_n(
       binary_t: treat T as binary (latent ``logitT`` + Bernoulli likelihood,
         Algorithm 3's ES over ``:logitT``, ``src/inference.jl:216-237``).
         ``None`` auto-detects from the values of ``t``.
+      init_params: resume from this chain state instead of a prior draw
+        (block log-likelihoods are recomputed exactly from it).
+      step_keys: explicit per-outer-iteration PRNG keys — the chunked
+        runner passes slices of one split so interrupted runs reproduce the
+        uninterrupted chain bit-exactly.
 
     Single chain (chain parallelism composes as a second mesh axis: chains
     are embarrassingly parallel, so a (chains, n) 2-D mesh runs this program
@@ -538,61 +546,143 @@ def run_mcmc_large_n(
         )
         return (params, (lpu, lpx, lpt, lpy, bll)), (params, stats)
 
-    def run_shard(key, u0, params0):
-        params0 = params0._replace(u=u0)
-        if binary_t:
-            # logitT ~ N(0, tCov) prior draw (init_from_prior parity,
-            # src/inference.jl:20 via Gen.generate)
-            k_lt, key = jax.random.split(key)
-            l0, _ = _t_chol_loc(params0, u0)
-            params0 = params0._replace(logit_t=_t_nu(k_lt, l0))
+    resume = init_params is not None
+
+    def run_shard(step_keys, k_lt, u0, params0):
+        if not resume:
+            params0 = params0._replace(u=u0)
+            if binary_t:
+                # logitT ~ N(0, tCov) prior draw (init_from_prior parity,
+                # src/inference.jl:20 via Gen.generate)
+                l0, _ = _t_chol_loc(params0, u0)
+                params0 = params0._replace(logit_t=_t_nu(k_lt, l0))
+        # block log-likelihoods are a pure function of the state, so a
+        # resumed chunk recomputes them exactly
         lps0 = (
-            lp_u(params0, u0),
-            lp_x_all(params0, u0),
-            lp_t(params0, u0, params0.logit_t),
-            lp_y(params0, u0),
+            lp_u(params0, params0.u),
+            lp_x_all(params0, params0.u),
+            lp_t(params0, params0.u, params0.logit_t),
+            lp_y(params0, params0.u),
             bern_lp(params0.logit_t) if binary_t else jnp.zeros((), dtype=dtype),
         )
         (final, _), (samples, stats) = jax.lax.scan(
-            outer_step, (params0, lps0), jax.random.split(key, hp.n_outer)
+            outer_step, (params0, lps0), step_keys
         )
         return samples, stats, final
 
-    # init from the prior (replicated randomness)
     from ..ops.distributions import inv_gamma_sample
 
     k_init, k_run = jax.random.split(jax.random.key(0) if key is None else key)
+    k_lt, k_steps = jax.random.split(k_run)
+    if step_keys is None:
+        step_keys = jax.random.split(k_steps, hp.n_outer)
 
-    def ig(kk, stem, shape=()):
-        a = jnp.full(shape, priors_j[stem + "Shape"], dtype=dtype)
-        b = jnp.full(shape, priors_j[stem + "Scale"], dtype=dtype)
-        return inv_gamma_sample(kk, a, b)
+    if resume:
+        params0 = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), init_params)
+        u0 = params0.u
+    else:
+        # init from the prior (replicated randomness)
+        def ig(kk, stem, shape=()):
+            a = jnp.full(shape, priors_j[stem + "Shape"], dtype=dtype)
+            b = jnp.full(shape, priors_j[stem + "Scale"], dtype=dtype)
+            return inv_gamma_sample(kk, a, b)
 
-    keys = jax.random.split(k_init, 14)
-    u_noise0 = ig(keys[1], "uNoise")
-    u0 = jax.vmap(
-        lambda kk: sigma_u_sample(kk, seg_ids, counts_t, u_noise0, eps=eps, cov=ucov, dtype=dtype)
-    )(jax.random.split(keys[0], n_u)).T
-    params0 = GPSLCParams(
-        u_noise=u_noise0,
-        t_noise=ig(keys[2], "tNoise"),
-        y_noise=ig(keys[3], "yNoise"),
-        ut_ls=ig(keys[4], "utLS", (n_u,)),
-        uy_ls=ig(keys[5], "uyLS", (n_u,)),
-        ty_ls=ig(keys[6], "tyLS"),
-        t_scale=ig(keys[7], "tScale"),
-        y_scale=ig(keys[9], "yScale"),
-        u=jnp.zeros((n, n_u), dtype=dtype),
-        x_noise=ig(keys[10], "xNoise", (nx,)) if nx else None,
-        x_scale=ig(keys[11], "xScale", (nx,)) if nx else None,
-        ux_ls=ig(keys[12], "uxLS", (nx, n_u)) if nx else None,
-        xt_ls=ig(keys[13], "xtLS", (nx,)) if nx else None,
-        xy_ls=ig(keys[8], "xyLS", (nx,)) if nx else None,
-        logit_t=jnp.zeros((n,), dtype=dtype) if binary_t else None,
-    )
+        keys = jax.random.split(k_init, 14)
+        u_noise0 = ig(keys[1], "uNoise")
+        u0 = jax.vmap(
+            lambda kk: sigma_u_sample(kk, seg_ids, counts_t, u_noise0, eps=eps, cov=ucov, dtype=dtype)
+        )(jax.random.split(keys[0], n_u)).T
+        params0 = GPSLCParams(
+            u_noise=u_noise0,
+            t_noise=ig(keys[2], "tNoise"),
+            y_noise=ig(keys[3], "yNoise"),
+            ut_ls=ig(keys[4], "utLS", (n_u,)),
+            uy_ls=ig(keys[5], "uyLS", (n_u,)),
+            ty_ls=ig(keys[6], "tyLS"),
+            t_scale=ig(keys[7], "tScale"),
+            y_scale=ig(keys[9], "yScale"),
+            u=jnp.zeros((n, n_u), dtype=dtype),
+            x_noise=ig(keys[10], "xNoise", (nx,)) if nx else None,
+            x_scale=ig(keys[11], "xScale", (nx,)) if nx else None,
+            ux_ls=ig(keys[12], "uxLS", (nx, n_u)) if nx else None,
+            xt_ls=ig(keys[13], "xtLS", (nx,)) if nx else None,
+            xy_ls=ig(keys[8], "xyLS", (nx,)) if nx else None,
+            logit_t=jnp.zeros((n,), dtype=dtype) if binary_t else None,
+        )
 
     shmap = jax.shard_map(run_shard, mesh=mesh, in_specs=P(), out_specs=P())
-    return jax.jit(shmap)(k_run, u0, params0)
+    return jax.jit(shmap)(step_keys, k_lt, u0, params0)
+
+
+def run_mcmc_large_n_checkpointed(
+    key: jax.Array,
+    t,
+    y,
+    counts,
+    *,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 8,
+    progress_callback=None,
+    hp: Optional[HyperParameters] = None,
+    **kwargs,
+):
+    """Chunked sharded-N MCMC with mid-run snapshots (crash-safe large-N).
+
+    The large-N analog of :func:`causalgpslc_tpu.parallel.checkpoint.
+    run_mcmc_checkpointed`: the full run's per-outer-iteration keys are
+    derived once from ``key`` (identically to the one-shot
+    :func:`run_mcmc_large_n`), each chunk resumes from the previous chunk's
+    final state, and the chain is bit-exact with the uninterrupted run.
+    Snapshots reuse the npz chain-state format of ``parallel.checkpoint``.
+    """
+    import os as _os
+
+    from .checkpoint import load_chain_state, save_chain_state
+
+    hp = hp if hp is not None else default_hyperparameters()
+    k_init, k_run = jax.random.split(jax.random.key(0) if key is None else key)
+    _, k_steps = jax.random.split(k_run)
+    all_step_keys = jax.random.split(k_steps, hp.n_outer)
+
+    if checkpoint_path is not None and _os.path.exists(checkpoint_path):
+        params, _key_arr, outer_done, samples, _ = load_chain_state(checkpoint_path)
+        stats = None
+    else:
+        params, outer_done, samples, stats = None, 0, None, None
+
+    def _cat(a, b):
+        if a is None:
+            return b
+        return jax.tree.map(
+            lambda x, y: np.concatenate([np.asarray(x), np.asarray(y)], axis=0), a, b
+        )
+
+    while outer_done < hp.n_outer:
+        n_steps = min(checkpoint_every, hp.n_outer - outer_done)
+        sub = all_step_keys[outer_done : outer_done + n_steps]
+        # n_burn_in is retention bookkeeping only (no adaptation here);
+        # clamp it so the chunk HyperParameters validate
+        chunk_hp = hp.replace(n_outer=n_steps, n_burn_in=min(hp.n_burn_in, n_steps))
+        chunk_samples, chunk_stats, params = run_mcmc_large_n(
+            key, t, y, counts, hp=chunk_hp, init_params=params, step_keys=sub, **kwargs
+        )
+        samples = _cat(samples, jax.tree.map(np.asarray, chunk_samples))
+        stats = _cat(stats, jax.tree.map(np.asarray, chunk_stats))
+        outer_done += n_steps
+        if checkpoint_path is not None:
+            # the key is bookkeeping only (resume re-derives step keys from
+            # the caller's key); store raw data — typed PRNG keys (jax.random
+            # .key) refuse np.asarray
+            key_arr = (
+                jax.random.key_data(key)
+                if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key)
+                else key
+            )
+            save_chain_state(checkpoint_path, params, key_arr, outer_done, samples)
+        if progress_callback is not None:
+            progress_callback(outer_done, hp.n_outer)
+
+    return samples, stats, params
 
 
 # ---------------------------------------------------------------------------

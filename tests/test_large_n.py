@@ -359,3 +359,54 @@ def test_gpslc_large_n_requires_obj(data_dir):
 
     with pytest.raises(ValueError, match="obj"):
         cg.gpslc_large_n(str(data_dir / "no_objects.csv"))
+
+
+@pytest.mark.parametrize("binary_t", [False, True])
+def test_large_n_checkpoint_resume_bit_exact(tmp_path, binary_t):
+    """Chunked large-N MCMC == one-shot run bit-for-bit, and a crash after
+    the first chunk's snapshot resumes to the identical chain."""
+    from causalgpslc_tpu.parallel.large_n import run_mcmc_large_n_checkpointed
+
+    counts = [8, 8, 8, 8]
+    n = sum(counts)
+    rng = np.random.default_rng(30)
+    x = rng.normal(size=(n, 1))
+    t_lat = x[:, 0] + rng.normal(size=n) * 0.6
+    t = (t_lat > 0).astype(float) if binary_t else t_lat
+    y = 0.6 * t + rng.normal(size=n) * 0.4
+    hp = default_hyperparameters().replace(
+        n_outer=6, n_mh_inner=1, n_es_inner=1, n_burn_in=1
+    )
+    kw = dict(x=x, binary_t=binary_t, mesh=n_mesh(8), block=4)
+    key = jax.random.key(31)
+
+    one_shot, _, _ = run_mcmc_large_n(key, t, y, counts, hp=hp, **kw)
+    chunked, _, _ = run_mcmc_large_n_checkpointed(
+        key, t, y, counts, hp=hp, checkpoint_every=2, **kw
+    )
+    for f in one_shot._fields:
+        a, b = getattr(one_shot, f), getattr(chunked, f)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+
+    # crash-after-first-snapshot resume
+    path = str(tmp_path / "ln.npz")
+
+    class _Stop(Exception):
+        pass
+
+    def crash(done, total):
+        if done >= 2:
+            raise _Stop
+
+    with pytest.raises(_Stop):
+        run_mcmc_large_n_checkpointed(
+            key, t, y, counts, hp=hp, checkpoint_path=path, checkpoint_every=2,
+            progress_callback=crash, **kw
+        )
+    resumed, _, _ = run_mcmc_large_n_checkpointed(
+        key, t, y, counts, hp=hp, checkpoint_path=path, checkpoint_every=2, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(resumed.ty_ls), np.asarray(one_shot.ty_ls))
+    np.testing.assert_array_equal(np.asarray(resumed.u), np.asarray(one_shot.u))
