@@ -89,7 +89,7 @@ def gpslc_large_n(
     priorparams: Optional[dict] = None,
     seed: int = 0,
     mesh=None,
-    block: int = 256,
+    block: Optional[int] = None,
     unroll: int = 1,
     dtype=None,
 ) -> LargeNGPSLC:
@@ -98,7 +98,8 @@ def gpslc_large_n(
     Column conventions follow the reference driver (``T``, ``Y``, required
     ``obj``, everything else covariates). The N x N covariances never
     materialize on a single device; memory and FLOPs divide by the mesh
-    size."""
+    size. ``block=None`` picks a panel width that keeps sentinel padding
+    modest (256 at large N, smaller when N/devices is small)."""
     hp = hyperparams or default_hyperparameters()
     pp = dict(default_prior_parameters())
     if priorparams:
@@ -116,6 +117,8 @@ def gpslc_large_n(
         )
     counts = object_counts(list(prepared.obj))
     mesh = mesh if mesh is not None else n_mesh()
+    if block is None:
+        block = _auto_block(prepared.n, mesh.devices.size)
 
     samples, stats, _final = run_mcmc_large_n(
         jax.random.PRNGKey(seed),
@@ -145,6 +148,16 @@ def gpslc_large_n(
         mesh=mesh,
         block=block,
     )
+
+
+def _auto_block(n: int, n_dev: int) -> int:
+    """Largest power-of-two panel width <= 256 keeping padding under ~50%
+    (the distributed loops need block * n_devices | padded N; a 256-wide
+    panel on an 8-way mesh would pad a 200-row dataset to 2048 rows)."""
+    b = 8
+    while b < 256 and b * n_dev * 2 <= n:
+        b *= 2
+    return b
 
 
 def _ite_moments(g: LargeNGPSLC, do_t):
