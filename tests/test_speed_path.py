@@ -71,6 +71,7 @@ def test_neec_golden_in_speed_config(data_dir, config):
     [
         (1, None, False),  # the bench variant (NoCov continuous)
         (1, 2, False),  # full U+X variant
+        (1, None, True),  # binary treatment: logitT ESS in the f32 path
     ],
 )
 def test_sbc_in_speed_config(n_u, n_x, binary_t):
