@@ -30,6 +30,7 @@ from .api import (
 from .api_large_n import (
     LargeNGPSLC,
     gpslc_large_n,
+    predict_counterfactual_effects_large_n,
     sample_ite_large_n,
     sample_sate_large_n,
 )

@@ -49,6 +49,7 @@ __all__ = [
     "gpslc_large_n",
     "sample_ite_large_n",
     "sample_sate_large_n",
+    "predict_counterfactual_effects_large_n",
 ]
 
 
@@ -194,3 +195,35 @@ def sample_sate_large_n(
     z = jax.random.normal(jax.random.PRNGKey(seed), (s, samples_per_posterior))
     draws = sate_means[:, None] + jnp.sqrt(sate_vars)[:, None] * z.astype(sate_means.dtype)
     return np.asarray(draws.reshape(-1))
+
+
+def predict_counterfactual_effects_large_n(
+    g: LargeNGPSLC,
+    n_samples_per_mixture: int,
+    fidelity: int = 100,
+    min_do_t=None,
+    max_do_t=None,
+    seed: int = 1,
+):
+    """ITE samples across a doT grid at large N
+    (``predictCounterfactualEffects``, ``src/prediction.jl:23-36``).
+
+    Returns ``(ite, do_t_range)`` with ``ite`` of shape
+    ``(fidelity + 1, n, S * n_samples_per_mixture)``. Each grid point runs
+    the sharded conditioning program (compiled once, reused across the
+    whole grid and all posterior samples)."""
+    lo = float(g.t.min()) if min_do_t is None else float(min_do_t)
+    hi = float(g.t.max()) if max_do_t is None else float(max_do_t)
+    grid = np.linspace(lo, hi, fidelity + 1)
+    out = []
+    for i, do_t in enumerate(grid):
+        mean_s, var_s, _, _ = _ite_moments(g, float(do_t))
+        out.append(
+            np.asarray(
+                ite_samples_marginal(
+                    jax.random.fold_in(jax.random.PRNGKey(seed), i),
+                    mean_s, var_s, n_samples_per_mixture,
+                )
+            )
+        )
+    return np.stack(out), grid

@@ -410,3 +410,20 @@ def test_large_n_checkpoint_resume_bit_exact(tmp_path, binary_t):
     )
     np.testing.assert_array_equal(np.asarray(resumed.ty_ls), np.asarray(one_shot.ty_ls))
     np.testing.assert_array_equal(np.asarray(resumed.u), np.asarray(one_shot.u))
+
+
+def test_predict_counterfactual_effects_large_n(data_dir):
+    import causalgpslc_tpu as cg
+
+    hp = cg.default_hyperparameters(
+        n_outer=3, n_mh_inner=1, n_es_inner=1, n_burn_in=2, n_u=1
+    )
+    g = cg.gpslc_large_n(
+        str(data_dir / "minimal.csv"), hyperparams=hp, seed=0,
+        mesh=n_mesh(8), block=2,
+    )
+    ite, grid = cg.predict_counterfactual_effects_large_n(g, 2, fidelity=3)
+    assert ite.shape == (4, g.n, hp.n_posterior_samples * 2)
+    assert np.isfinite(ite).all()
+    t = g.t
+    assert grid[0] == pytest.approx(t.min()) and grid[-1] == pytest.approx(t.max())
