@@ -119,6 +119,16 @@ def gpslc(
     Column conventions follow ``src/driver.jl:27-33``: ``T``, ``Y``, optional
     ``obj``, everything else covariates. ``verbose`` runs in chunks with
     host-side progress lines (the reference's tqdm analog).
+
+    Multi-device routing: when more than one accelerator is visible and
+    ``hp.n_chains`` is a multiple of the device count, chains shard over the
+    device mesh (``parallel.mesh.run_mcmc_sharded``). Per-chain results match
+    the single-device path to ~1e-12 (same chain keys and per-chain program;
+    XLA may fuse the two layouts differently, so equality is allclose-level,
+    not bitwise — outputs can differ at ULP level with the visible device
+    count). When ``n_chains`` does NOT divide the device count a warning is
+    emitted and the run stays on one device — round ``n_chains`` up to a
+    multiple of ``len(jax.devices())`` to use every chip.
     """
     hp = hyperparams or default_hyperparameters()
     pp = dict(default_prior_parameters())
@@ -156,6 +166,17 @@ def gpslc(
             jax.random.PRNGKey(seed), spec, pp, model_data, hp
         )
     else:
+        if len(jax.devices()) > 1:
+            import warnings
+
+            warnings.warn(
+                f"{len(jax.devices())} devices are visible but n_chains="
+                f"{hp.n_chains} is not a multiple of the device count; "
+                "running on ONE device. Set n_chains to a multiple of "
+                "len(jax.devices()) (chains are cheap — round up) to shard "
+                "across all chips.",
+                stacklevel=2,
+            )
         samples, stats, _final = sample_posterior(spec, pp, model_data, hp, seed=seed)
     return GPSLCObject(
         hyperparams=hp,

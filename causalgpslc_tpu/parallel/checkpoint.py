@@ -43,14 +43,21 @@ def _params_from_arrays(arrays: dict) -> GPSLCParams:
 
 
 def save_chain_state(
-    path: str, params: GPSLCParams, key, outer_done: int, samples=None, drifts=None
+    path: str, params: GPSLCParams, key, outer_done: int, samples=None, drifts=None,
+    stats=None,
 ):
     """Atomically write chain state (+ optionally retained samples so far).
 
     ``drifts`` are the current adaptive proposal variances — part of the
     Markov-chain state whenever ``adapt_proposals=True``, so they must
     survive a resume (resetting them mid-burn-in would silently restart
-    adaptation from the prior drift)."""
+    adaptation from the prior drift).
+
+    ``stats`` is the per-outer-iteration diagnostics pytree accumulated so
+    far (:class:`~causalgpslc_tpu.inference.gibbs.StepStats` or the large-N
+    equivalent). Persisting it keeps stats aligned with ``samples`` across a
+    crash-resume — without it a resumed run's stats would cover only
+    post-resume chunks while samples cover the full horizon."""
     path = pathlib.Path(path)
     payload = {f"params/{k}": v for k, v in _params_to_arrays(params).items()}
     payload["key"] = np.asarray(key)
@@ -58,6 +65,14 @@ def save_chain_state(
         payload.update({f"samples/{k}": v for k, v in _params_to_arrays(samples).items()})
     if drifts is not None:
         payload["drifts"] = np.asarray(drifts)
+    if stats is not None:
+        payload.update(
+            {
+                f"stats/{f}": np.asarray(getattr(stats, f))
+                for f in stats._fields
+                if getattr(stats, f) is not None
+            }
+        )
     payload["meta"] = np.frombuffer(
         json.dumps({"outer_done": int(outer_done)}).encode(), dtype=np.uint8
     )
@@ -69,7 +84,11 @@ def save_chain_state(
 
 
 def load_chain_state(path: str):
-    """Returns (params, key, outer_done, samples-or-None, drifts-or-None)."""
+    """Returns ``(params, key, outer_done, samples, drifts, stats)``.
+
+    ``samples``/``drifts`` are ``None`` when absent; ``stats`` is a plain
+    ``{field: array}`` dict (``None`` when absent) — callers rebuild their
+    typed stats tuple (StepStats / LargeNStats) from it."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
         params = _params_from_arrays(
@@ -82,13 +101,35 @@ def load_chain_state(path: str):
             else None
         )
         drifts = z["drifts"] if "drifts" in z.files else None
-        return params, z["key"], meta["outer_done"], samples, drifts
+        stats_keys = [k for k in z.files if k.startswith("stats/")]
+        stats = (
+            {k.split("/", 1)[1]: z[k] for k in stats_keys} if stats_keys else None
+        )
+        return params, z["key"], meta["outer_done"], samples, drifts, stats
 
 
 def _concat_samples(a: Optional[GPSLCParams], b: GPSLCParams) -> GPSLCParams:
     if a is None:
         return b
     return jax.tree.map(lambda x, y: np.concatenate([np.asarray(x), np.asarray(y)], axis=1), a, b)
+
+
+def _to_host(leaf):
+    """Fetch a (possibly sharded) array to host numpy.
+
+    Single-process (including the 8-way virtual CPU mesh): plain
+    ``np.asarray``. Multi-process: a globally-sharded array is not fully
+    addressable, so assemble THIS process's chain rows from its addressable
+    shards (sorted by their position on the chain axis) — each host keeps its
+    own slice of the chain axis, the layout ``process_local_chain_slice``
+    describes."""
+    if jax.process_count() == 1 or not hasattr(leaf, "addressable_shards"):
+        return np.asarray(leaf)
+    shards = sorted(
+        leaf.addressable_shards,
+        key=lambda s: (s.index[0].start or 0) if s.index else 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def run_mcmc_checkpointed(
@@ -101,6 +142,7 @@ def run_mcmc_checkpointed(
     checkpoint_every: int = 8,
     progress_callback=None,
     scan_unroll: int = 1,
+    mesh=None,
 ):
     """Chunked chain-batched MCMC with periodic state snapshots.
 
@@ -112,7 +154,19 @@ def run_mcmc_checkpointed(
     fires after every chunk. Returns ``(samples, stats, final_params)`` shaped
     like :func:`run_mcmc` (samples lead with ``(n_chains, n_outer)``; ``stats``
     is the full concatenated :class:`~causalgpslc_tpu.inference.gibbs.StepStats`,
-    so diagnostics survive the chunked path too).
+    so diagnostics survive the chunked path too — including across a
+    crash-resume, since snapshots persist the accumulated stats alongside the
+    samples).
+
+    ``mesh``: optional 1-D chain mesh (``parallel.mesh.chain_mesh`` or the
+    multihost ``global_chain_mesh``). Chains shard over its ``"chains"`` axis
+    (``hp.n_chains`` must be a multiple of the mesh size) and, with
+    ``hp.adapt_proposals=True``, the per-chunk step-size adaptation pools the
+    MOVE ACCEPTANCE ACROSS EVERY CHAIN ON EVERY DEVICE/HOST — the cross-host
+    all-reduce of the north star (SURVEY.md §5) — so adapted drifts are
+    identical on 1 and N devices by construction (the pooled mean is the same
+    global mean regardless of layout). Under multi-process execution each
+    host returns (and snapshots) its own chain rows.
     """
     from functools import partial
 
@@ -135,9 +189,28 @@ def run_mcmc_checkpointed(
             body, params, jax.random.split(chunk_key, n_steps), unroll=scan_unroll
         )
 
-    run_chunk_chains = jax.jit(
-        jax.vmap(run_chunk, in_axes=(0, 0, None, None)), static_argnames=("n_steps",)
-    )
+    if mesh is None:
+        run_chunk_chains = jax.jit(
+            jax.vmap(run_chunk, in_axes=(0, 0, None, None)), static_argnames=("n_steps",)
+        )
+        chain_sharding = replicated = None
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .mesh import CHAIN_AXIS
+
+        n_dev = mesh.devices.size
+        if hp.n_chains % n_dev != 0:
+            raise ValueError(
+                f"n_chains={hp.n_chains} must be a multiple of mesh size {n_dev}"
+            )
+        chain_sharding = NamedSharding(mesh, P(CHAIN_AXIS))
+        replicated = NamedSharding(mesh, P())
+        run_chunk_chains = jax.jit(
+            jax.vmap(run_chunk, in_axes=(0, 0, None, None)),
+            static_argnames=("n_steps",),
+            out_shardings=chain_sharding,
+        )
 
     from ..inference.mh import block_sites, sweep_moves as _sweep_moves
 
@@ -146,12 +219,24 @@ def run_mcmc_checkpointed(
     )
     drifts = jax.numpy.full((n_moves,), priors["drift"], dtype=dtype)
 
+    if checkpoint_path is not None and jax.process_count() > 1:
+        # each host snapshots (and resumes) its own chain rows; resume
+        # requires the same process layout
+        checkpoint_path = f"{checkpoint_path}.rank{jax.process_index()}"
+
+    stats = None
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        params, key_arr, outer_done, samples, saved_drifts = load_chain_state(checkpoint_path)
+        params, key_arr, outer_done, samples, saved_drifts, saved_stats = load_chain_state(
+            checkpoint_path
+        )
         params = jax.tree.map(lambda a: jax.numpy.asarray(a, dtype=dtype), params)
         key = jax.numpy.asarray(key_arr)
         if saved_drifts is not None:
             drifts = jax.numpy.asarray(saved_drifts, dtype=dtype)
+        if saved_stats is not None:
+            from ..inference.gibbs import StepStats
+
+            stats = StepStats(**{f: saved_stats.get(f) for f in StepStats._fields})
     else:
         chain_keys = jax.random.split(jax.random.fold_in(key, 0), hp.n_chains)
         params = jax.vmap(lambda k: init_from_prior(k, spec, priors, data, dtype=dtype))(
@@ -159,24 +244,42 @@ def run_mcmc_checkpointed(
         )
         outer_done, samples = 0, None
 
-    stats = None
+    if mesh is not None:
+        if jax.process_count() > 1 and outer_done > 0:
+            # resumed params are this process's local chain rows; reassemble
+            # the global sharded array from the per-process pieces
+            params = jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(
+                    chain_sharding, np.asarray(a)
+                ),
+                params,
+            )
+        else:
+            params = jax.device_put(params, chain_sharding)
+        drifts = jax.device_put(drifts, replicated)
+
     while outer_done < hp.n_outer:
         n_steps = min(checkpoint_every, hp.n_outer - outer_done)
         key, sub = jax.random.split(key)
         chunk_keys = jax.random.split(sub, hp.n_chains)
+        if mesh is not None:
+            chunk_keys = jax.device_put(chunk_keys, chain_sharding)
         params, (chunk_samples, chunk_stats) = run_chunk_chains(
             params, chunk_keys, drifts, n_steps
         )
-        samples = _concat_samples(samples, jax.tree.map(np.asarray, chunk_samples))
-        stats = _concat_samples(stats, jax.tree.map(np.asarray, chunk_stats))
-        outer_done += n_steps
-        if hp.adapt_proposals and outer_done < hp.n_burn_in:
+        if hp.adapt_proposals and outer_done + n_steps < hp.n_burn_in:
             # POOLED step-size adaptation: mean acceptance across every chain
-            # (an all-reduce over the chain axis when sharded — the
-            # "cross-host psum for step-size adaptation" of the north star),
-            # Robbins-Monro on log-variance, frozen after burn-in.
-            pooled = jax.numpy.mean(chunk_stats.move_accepts, axis=(0, 1))  # (n_moves,)
-            gamma = 0.5 / (1.0 + outer_done) ** 0.6
+            # — under a sharded stats pytree this jitted global mean lowers
+            # to an all-reduce over the chain axis (cross-host when the mesh
+            # spans hosts: the "psum for step-size adaptation" of the north
+            # star), so the adapted drifts are bit-identical on every process
+            # and at every mesh size. Robbins-Monro on log-variance, frozen
+            # after burn-in.
+            pooled = jax.jit(
+                lambda s: jax.numpy.mean(s, axis=(0, 1)),
+                **({"out_shardings": replicated} if mesh is not None else {}),
+            )(chunk_stats.move_accepts)
+            gamma = 0.5 / (1.0 + (outer_done + n_steps)) ** 0.6
             drifts = jax.numpy.clip(
                 jax.numpy.exp(
                     jax.numpy.log(drifts) + gamma * (pooled - hp.target_accept)
@@ -184,8 +287,16 @@ def run_mcmc_checkpointed(
                 1e-4,
                 1e3,
             )
+            if mesh is not None:
+                drifts = jax.device_put(drifts, replicated)
+        samples = _concat_samples(samples, jax.tree.map(_to_host, chunk_samples))
+        stats = _concat_samples(stats, jax.tree.map(_to_host, chunk_stats))
+        outer_done += n_steps
         if checkpoint_path is not None:
-            save_chain_state(checkpoint_path, params, key, outer_done, samples, drifts)
+            save_chain_state(
+                checkpoint_path, jax.tree.map(_to_host, params), key, outer_done,
+                samples, drifts, stats,
+            )
         if progress_callback is not None:
             progress_callback(outer_done, hp.n_outer)
 

@@ -645,8 +645,16 @@ def run_mcmc_large_n_checkpointed(
     all_step_keys = jax.random.split(k_steps, hp.n_outer)
 
     if checkpoint_path is not None and _os.path.exists(checkpoint_path):
-        params, _key_arr, outer_done, samples, _ = load_chain_state(checkpoint_path)
-        stats = None
+        params, _key_arr, outer_done, samples, _, saved_stats = load_chain_state(
+            checkpoint_path
+        )
+        # stats persist in the snapshot so a crash-resume returns diagnostics
+        # aligned with the full sample horizon, not just post-resume chunks
+        stats = (
+            LargeNStats(**{f: saved_stats.get(f) for f in LargeNStats._fields})
+            if saved_stats is not None
+            else None
+        )
     else:
         params, outer_done, samples, stats = None, 0, None, None
 
@@ -678,7 +686,9 @@ def run_mcmc_large_n_checkpointed(
                 if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key)
                 else key
             )
-            save_chain_state(checkpoint_path, params, key_arr, outer_done, samples)
+            save_chain_state(
+                checkpoint_path, params, key_arr, outer_done, samples, stats=stats
+            )
         if progress_callback is not None:
             progress_callback(outer_done, hp.n_outer)
 

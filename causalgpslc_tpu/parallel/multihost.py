@@ -47,11 +47,28 @@ def global_chain_mesh() -> Mesh:
     return Mesh(np.asarray(jax.devices()), (CHAIN_AXIS,))
 
 
-def process_local_chain_slice(n_chains: int) -> slice:
-    """This process's contiguous slice of the global chain axis (for
-    host-local sample extraction after a sharded run)."""
-    n_dev = len(jax.devices())
+def process_local_chain_slice(n_chains: int, mesh: Optional[Mesh] = None):
+    """This process's rows of the global chain axis (for host-local sample
+    extraction after a sharded run).
+
+    Derived from the mesh's actual device order and each device's
+    ``process_index`` — NOT from device ids, which real pods do not guarantee
+    to be contiguous per host. Returns a ``slice`` when the rows are
+    contiguous (the common case) and an integer index array otherwise; both
+    work as a numpy row indexer.
+    """
+    devices = (
+        mesh.devices.reshape(-1) if mesh is not None else np.asarray(jax.devices())
+    )
+    n_dev = devices.size
     per_dev = n_chains // n_dev
-    local = jax.local_devices()
-    first = min(d.id for d in local)
-    return slice(first * per_dev, (first + len(local)) * per_dev)
+    pid = jax.process_index()
+    positions = [i for i, d in enumerate(devices) if d.process_index == pid]
+    if not positions:
+        return slice(0, 0)
+    idx = np.concatenate(
+        [np.arange(p * per_dev, (p + 1) * per_dev) for p in positions]
+    )
+    if np.array_equal(idx, np.arange(idx[0], idx[0] + idx.size)):
+        return slice(int(idx[0]), int(idx[0] + idx.size))
+    return idx

@@ -36,9 +36,14 @@ def test_checkpoint_round_trip(tmp_path):
     assert stats is not None
     assert stats.mh_accept_rate.shape == (hp.n_chains, hp.n_outer)
     assert stats.log_joint_blocks.shape == (hp.n_chains, hp.n_outer)
-    params, key_arr, outer_done, saved_samples, _drifts = load_chain_state(path)
+    params, key_arr, outer_done, saved_samples, _drifts, saved_stats = load_chain_state(path)
     assert outer_done == hp.n_outer
     np.testing.assert_array_equal(np.asarray(saved_samples.ty_ls), np.asarray(samples.ty_ls))
+    # stats persist in the snapshot, aligned with the samples
+    assert saved_stats is not None
+    np.testing.assert_array_equal(
+        saved_stats["mh_accept_rate"], np.asarray(stats.mh_accept_rate)
+    )
 
 
 class _Interrupt(Exception):
@@ -76,10 +81,10 @@ def test_resume_matches_uninterrupted(tmp_path, adapt):
             progress_callback=_crash_after(3),
         )
     if adapt:
-        _, _, _, _, drifts = load_chain_state(part_path)
+        _, _, _, _, drifts, _ = load_chain_state(part_path)
         assert drifts is not None
         assert not np.allclose(drifts, pp["drift"])  # adaptation actually moved them
-    samples_resumed, _, _ = run_mcmc_checkpointed(key, spec, pp, data, hp, part_path, checkpoint_every=3)
+    samples_resumed, stats_resumed, _ = run_mcmc_checkpointed(key, spec, pp, data, hp, part_path, checkpoint_every=3)
 
     np.testing.assert_allclose(
         np.asarray(samples_resumed.ty_ls), np.asarray(samples_full.ty_ls), rtol=1e-12
@@ -87,6 +92,10 @@ def test_resume_matches_uninterrupted(tmp_path, adapt):
     np.testing.assert_allclose(
         np.asarray(samples_resumed.u), np.asarray(samples_full.u), rtol=1e-12
     )
+    # stats cover the FULL horizon after a resume (pre-crash chunks restored
+    # from the snapshot), staying aligned with the samples
+    assert stats_resumed.mh_accept_rate.shape == (hp.n_chains, hp.n_outer)
+    assert np.all(np.isfinite(np.asarray(stats_resumed.log_joint_blocks)))
 
 
 def test_pooled_adaptation_in_chunked_runner(tmp_path):
@@ -101,6 +110,54 @@ def test_pooled_adaptation_in_chunked_runner(tmp_path):
     )
     assert samples.ty_ls.shape == (4, 12)
     assert stuck_sites(samples) == []
+
+
+def test_pooled_adaptation_identical_across_mesh_sizes(tmp_path):
+    """The sharded chunked runner pools step-size adaptation across EVERY
+    chain regardless of device layout (VERDICT r3 item 4): with
+    adapt_proposals=True the adapted drifts — and hence the samples — match
+    between a 1-device and an 8-device chain mesh (the pooled mean is the
+    same global mean either way; the all-reduce rides the chain axis)."""
+    from causalgpslc_tpu.parallel.mesh import chain_mesh
+
+    spec, pp, data, hp = setup(n_chains=8)
+    hp = hp.replace(n_outer=6, n_burn_in=5, adapt_proposals=True)
+    key = jax.random.PRNGKey(7)
+
+    paths = {}
+    for n_dev in (1, 8):
+        path = str(tmp_path / f"mesh{n_dev}.npz")
+        paths[n_dev] = path
+        samples, _, _ = run_mcmc_checkpointed(
+            key, spec, pp, data, hp, path, checkpoint_every=2,
+            mesh=chain_mesh(n_dev),
+        )
+        if n_dev == 1:
+            ref = np.asarray(samples.ty_ls)
+    np.testing.assert_allclose(np.asarray(samples.ty_ls), ref, rtol=1e-12, atol=1e-13)
+    d1 = load_chain_state(paths[1])[4]
+    d8 = load_chain_state(paths[8])[4]
+    assert not np.allclose(d1, cg.default_prior_parameters()["drift"])  # adapted
+    np.testing.assert_allclose(d1, d8, rtol=1e-13)
+
+
+def test_sharded_chunked_matches_unsharded(tmp_path):
+    """mesh= on the chunked runner reproduces the unsharded chunked run."""
+    from causalgpslc_tpu.parallel.mesh import chain_mesh
+
+    spec, pp, data, hp = setup(n_chains=8)
+    key = jax.random.PRNGKey(5)
+    s_plain, _, _ = run_mcmc_checkpointed(key, spec, pp, data, hp, None, checkpoint_every=3)
+    s_shard, _, _ = run_mcmc_checkpointed(
+        key, spec, pp, data, hp, None, checkpoint_every=3, mesh=chain_mesh()
+    )
+    for f in s_plain._fields:
+        a, b = getattr(s_plain, f), getattr(s_shard, f)
+        if a is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13, err_msg=f
+        )
 
 
 def test_scan_unroll_bitwise_identical():
