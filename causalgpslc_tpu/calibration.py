@@ -11,15 +11,19 @@ chi-squared/KS test with Bonferroni correction across monitored sites.
 
 TPU note: replications are embarrassingly parallel — each replication is an
 independent chain, so the whole SBC study is one chain-batched ``run_mcmc``
-call with per-replication synthetic datasets... except the data differs per
-replication, so datasets batch through ``vmap`` over the data pytree too.
-Round-1 implementation runs replications in Python (datasets are tiny);
-batched-data vmap is a planned optimization.
+call with per-replication synthetic datasets; the data differs per
+replication, so datasets batch through ``vmap`` over the data pytree too
+(simulate + run fused in one jitted program, ``_sbc_batch``). This is the
+round-4 default (``vectorized=True``) — one dispatch per ``rep_batch``
+replications instead of one full-MCMC dispatch per replication, which is
+what made the slow SBC suite need 45-60 min budgets. ``vectorized=False``
+keeps the round-1 Python loop (same keys, same ranks) as a cross-check.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -28,7 +32,7 @@ import numpy as np
 from scipy import stats as sps
 
 from .hyperparameters import HyperParameters, default_prior_parameters
-from .inference.gibbs import run_mcmc_jit
+from .inference.gibbs import run_mcmc, run_mcmc_jit
 from .models.blocks import t_cov, y_cov
 from .models.spec import ModelData, ModelSpec
 from .models.state import hyper_fields, init_from_prior
@@ -89,6 +93,27 @@ def simulate_dataset(key: jax.Array, spec: ModelSpec, priors: dict, sigma_u, dty
 _DEFAULT_MONITOR = ["ty_ls", "y_noise", "y_scale"]
 
 
+@partial(jax.jit, static_argnames=("spec", "priors_items", "hp", "dtype_name"))
+def _sbc_batch(keys, spec, priors_items, sigma_u, hp, dtype_name):
+    """Simulate-and-run a batch of SBC replications in ONE program.
+
+    ``keys``: (R, 2) replication keys. Each replication draws its own
+    ground truth + synthetic dataset from the prior and runs the full
+    chain-batched MCMC on it; everything vmaps over the replication axis
+    (all shapes static — data is a pytree). Returns (truth, samples) with a
+    leading replication axis."""
+    priors = dict(priors_items)
+    dtype = jnp.dtype(dtype_name)
+
+    def rep(key):
+        k_sim, k_run = jax.random.split(key)
+        truth, data = simulate_dataset(k_sim, spec, priors, sigma_u, dtype=dtype)
+        samples, _, _ = run_mcmc(k_run, spec, priors, data, hp)
+        return truth, samples
+
+    return jax.vmap(rep)(keys)
+
+
 def run_sbc(
     spec: ModelSpec,
     hp: HyperParameters,
@@ -99,13 +124,22 @@ def run_sbc(
     alpha: float = 0.05,
     sigma_u=None,
     dtype=jnp.float64,
+    vectorized: bool = True,
+    rep_batch: Optional[int] = None,
 ) -> SBCResult:
     """Run SBC for one model variant; ranks must be uniform if the sampler
     targets the correct posterior.
 
     ``dtype=jnp.float32`` calibrates the TPU speed path (relative-jitter
     ``stabilize_cov``; combine with speed-path hyperparameters and the
-    ``CAUSALGPSLC_QFC`` env to exercise the exact bench configuration)."""
+    ``CAUSALGPSLC_QFC`` env to exercise the exact bench configuration).
+
+    ``vectorized=True`` (default) fuses simulate+MCMC for ``rep_batch``
+    replications (default: all) into one vmapped program — same
+    per-replication keys as the ``vectorized=False`` Python loop, so the
+    ranks agree on a fixed seed (bit-level on CPU f64; batching may move
+    f32 results by ULPs). ``rep_batch`` bounds per-program memory when
+    ``n_replications`` is large."""
     priors = priors or default_prior_parameters()
     monitor = [m for m in (monitor or _DEFAULT_MONITOR) if m in hyper_fields(spec)]
     if spec.has_u and sigma_u is None:
@@ -116,17 +150,40 @@ def run_sbc(
 
     ranks = {m: [] for m in monitor}
     n_retained = hp.n_posterior_samples
-    for r in range(n_replications):
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), r)
-        k_sim, k_run = jax.random.split(key)
-        truth, data = simulate_dataset(k_sim, spec, priors, sigma_u, dtype=dtype)
-        samples, _, _ = run_mcmc_jit(k_run, spec, priors, data, hp)
-        idx = np.asarray(hp.retained_indices())
-        for m in monitor:
-            true_val = float(np.asarray(getattr(truth, m)).reshape(-1)[0])
-            draws = np.asarray(getattr(samples, m))[:, idx].reshape(-1, *np.asarray(getattr(truth, m)).shape)
-            draws = draws.reshape(draws.shape[0], -1)[:, 0]
-            ranks[m].append(int(np.sum(draws < true_val)))
+    idx = np.asarray(hp.retained_indices())
+    all_keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(seed), r) for r in range(n_replications)]
+    )
+
+    def _rank_one(truth_m, samples_m):
+        """Rank the (leading-axis-scalar) truth among retained draws."""
+        true_val = float(np.asarray(truth_m).reshape(-1)[0])
+        draws = np.asarray(samples_m)[:, idx]
+        draws = draws.reshape(draws.shape[0] * draws.shape[1], -1)[:, 0]
+        return int(np.sum(draws < true_val))
+
+    if vectorized:
+        priors_items = tuple(
+            sorted((k, float(v)) for k, v in priors.items() if not hasattr(v, "shape"))
+        )
+        rb = rep_batch or n_replications
+        for start in range(0, n_replications, rb):
+            kb = all_keys[start : start + rb]
+            truth_b, samples_b = _sbc_batch(
+                kb, spec, priors_items, sigma_u, hp, jnp.dtype(dtype).name
+            )
+            for m in monitor:
+                tvs = np.asarray(getattr(truth_b, m))
+                drs = np.asarray(getattr(samples_b, m))
+                for r in range(kb.shape[0]):
+                    ranks[m].append(_rank_one(tvs[r], drs[r]))
+    else:
+        for r in range(n_replications):
+            k_sim, k_run = jax.random.split(all_keys[r])
+            truth, data = simulate_dataset(k_sim, spec, priors, sigma_u, dtype=dtype)
+            samples, _, _ = run_mcmc_jit(k_run, spec, priors, data, hp)
+            for m in monitor:
+                ranks[m].append(_rank_one(getattr(truth, m), getattr(samples, m)))
 
     ranks = {m: np.asarray(v) for m, v in ranks.items()}
     pvalues = rank_uniformity_pvalues(ranks, n_retained * hp.n_chains)
