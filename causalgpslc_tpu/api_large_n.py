@@ -161,10 +161,11 @@ def _auto_block(n: int, n_dev: int) -> int:
     return b
 
 
-def _ite_moments(g: LargeNGPSLC, do_t):
+def _ite_moments(g: LargeNGPSLC, do_t, sample_batch=8):
     return ite_distributions_large_n(
         g.retained_samples(), g.t, g.y, do_t, x=g.x, mesh=g.mesh, block=g.block,
         prediction_covariance_noise=g.hyperparams.prediction_covariance_noise,
+        sample_batch=sample_batch,
     )
 
 
@@ -173,11 +174,23 @@ def sample_ite_large_n(
     do_t,
     samples_per_posterior: int = 10,
     seed: int = 1,
+    sample_batch: int = 8,
 ) -> np.ndarray:
     """ITE posterior-mixture samples, shape ``(n, S * samples_per_posterior)``
     (``sampleITE``, ``src/driver.jl:86-89``) from sharded conditioning;
-    feeds :func:`causalgpslc_tpu.api.summarize_estimates` unchanged."""
-    mean_s, var_s, _, _ = _ite_moments(g, do_t)
+    feeds :func:`causalgpslc_tpu.api.summarize_estimates` unchanged.
+
+    MARGINAL-ONLY caveat: unlike the dense :func:`causalgpslc_tpu.api.
+    sample_ite` (which draws correlated MVN ITE vectors, as the reference's
+    ``ITEsamples`` does), each individual's draws here are INDEPENDENT
+    normals at that individual's exact marginal moments. Per-individual
+    summaries (``summarize_estimates`` means/quantiles) are unaffected, but
+    cross-individual functionals computed from one column of the returned
+    matrix do not carry the joint uncertainty — for aggregate effects use
+    :func:`sample_sate_large_n`, which uses the exact sum-of-CovITE
+    variance. ``sample_batch`` posterior samples are conditioned per
+    dispatch (see ``ite_distributions_large_n``)."""
+    mean_s, var_s, _, _ = _ite_moments(g, do_t, sample_batch)
     return np.asarray(
         ite_samples_marginal(jax.random.PRNGKey(seed), mean_s, var_s, samples_per_posterior)
     )
@@ -188,9 +201,15 @@ def sample_sate_large_n(
     do_t,
     samples_per_posterior: int = 10,
     seed: int = 1,
+    sample_batch: int = 8,
 ) -> np.ndarray:
-    """SATE posterior-mixture samples (``sampleSATE``, ``src/driver.jl:108-111``)."""
-    _, _, sate_means, sate_vars = _ite_moments(g, do_t)
+    """SATE posterior-mixture samples (``sampleSATE``, ``src/driver.jl:108-111``).
+
+    Uses the exact aggregate variance ``sum(CovITE)/n^2`` per posterior
+    sample, so (unlike the marginal-only ITE matrix of
+    :func:`sample_ite_large_n`) the joint uncertainty of the average effect
+    is fully carried."""
+    _, _, sate_means, sate_vars = _ite_moments(g, do_t, sample_batch)
     s = sate_means.shape[0]
     z = jax.random.normal(jax.random.PRNGKey(seed), (s, samples_per_posterior))
     draws = sate_means[:, None] + jnp.sqrt(sate_vars)[:, None] * z.astype(sate_means.dtype)
@@ -204,20 +223,23 @@ def predict_counterfactual_effects_large_n(
     min_do_t=None,
     max_do_t=None,
     seed: int = 1,
+    sample_batch: int = 8,
 ):
     """ITE samples across a doT grid at large N
     (``predictCounterfactualEffects``, ``src/prediction.jl:23-36``).
 
     Returns ``(ite, do_t_range)`` with ``ite`` of shape
     ``(fidelity + 1, n, S * n_samples_per_mixture)``. Each grid point runs
-    the sharded conditioning program (compiled once, reused across the
-    whole grid and all posterior samples)."""
+    the sample-batched sharded conditioning program (compiled once, reused
+    across the whole grid): ceil(S/sample_batch) dispatches per point
+    instead of S. Individual draws carry marginal uncertainty only — see
+    :func:`sample_ite_large_n`."""
     lo = float(g.t.min()) if min_do_t is None else float(min_do_t)
     hi = float(g.t.max()) if max_do_t is None else float(max_do_t)
     grid = np.linspace(lo, hi, fidelity + 1)
     out = []
     for i, do_t in enumerate(grid):
-        mean_s, var_s, _, _ = _ite_moments(g, float(do_t))
+        mean_s, var_s, _, _ = _ite_moments(g, float(do_t), sample_batch)
         out.append(
             np.asarray(
                 ite_samples_marginal(

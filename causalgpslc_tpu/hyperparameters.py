@@ -93,6 +93,16 @@ class HyperParameters:
     # single-component proposal).
     mh_wide_drift: Optional[float] = None
     mh_wide_prob: float = 0.2
+    # Flattened chunk execution (round 4): run each chunk as ONE lax.scan
+    # over phase steps ([refresh, mh*, freeze, es*, final] per outer
+    # iteration, lax.switch-dispatched) instead of an outer scan with nested
+    # inner fori loops. Same kernel, same RNG streams, bit-identical samples
+    # (inference/flat.py; equivalence-tested). On the axon backend every
+    # nested-loop ENTRY re-streams its body at ~7x the While replay rate
+    # (measured: benchmarks/profile2_r04.json), so flattening removes a
+    # ~0.2-0.3 s/outer re-staging tax. Supported by the chunked runner
+    # (parallel/checkpoint.py), which bench.py uses.
+    flat_execution: bool = False
 
     def __post_init__(self):
         if self.n_outer < 1:

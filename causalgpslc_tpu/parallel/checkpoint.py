@@ -175,19 +175,33 @@ def run_mcmc_checkpointed(
 
     priors_items = tuple(sorted((k, float(v)) for k, v in priors.items()))
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def run_chunk(params, chunk_key, drifts, n_steps):
-        def body(p, k):
-            p, stats = outer_step(p, data, k, drifts if hp.adapt_proposals else None)
-            return p, (p, stats)
+    if hp.flat_execution:
+        from ..inference.flat import make_flat_chunk_fn
 
-        # scan_unroll > 1 executes that many outer iterations per XLA While
-        # iteration (identical samples): on the axon backend each While
-        # iteration pays a fixed dispatch quantum, so unrolling trades
-        # compile time for fewer quanta per chunk.
-        return jax.lax.scan(
-            body, params, jax.random.split(chunk_key, n_steps), unroll=scan_unroll
-        )
+        flat_chunk = make_flat_chunk_fn(spec, priors, data, hp)
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk(params, chunk_key, drifts, n_steps):
+            # flattened schedule: same per-outer step keys as the rolled scan
+            # below, so the chain is bit-identical (inference/flat.py)
+            final, samples, stats = flat_chunk(
+                params, jax.random.split(chunk_key, n_steps), drifts
+            )
+            return final, (samples, stats)
+    else:
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk(params, chunk_key, drifts, n_steps):
+            def body(p, k):
+                p, stats = outer_step(p, data, k, drifts if hp.adapt_proposals else None)
+                return p, (p, stats)
+
+            # scan_unroll > 1 executes that many outer iterations per XLA While
+            # iteration (identical samples): on the axon backend each While
+            # iteration pays a fixed dispatch quantum, so unrolling trades
+            # compile time for fewer quanta per chunk.
+            return jax.lax.scan(
+                body, params, jax.random.split(chunk_key, n_steps), unroll=scan_unroll
+            )
 
     if mesh is None:
         run_chunk_chains = jax.jit(

@@ -784,17 +784,13 @@ def conditional_ite_large_n(
     return mean_ite, var_ite, sate_mean, sate_var
 
 
-@functools.lru_cache(maxsize=32)
-def _ite_program(mesh: Mesh, n: int, n_padded: int, block: int, unroll: int, dtype_name: str):
-    """Build + cache the jitted sharded conditioning program for a problem
-    shape (reused across posterior samples and doT values)."""
+def _make_ite_shard_body(n: int, n_padded: int, n_local: int, block: int, unroll: int, dtype):
+    """The per-shard conditioning body shared by the single-sample and
+    sample-batched programs (see the math in the section comment above)."""
     from ..ops.dist_linalg import _diag_block
     from ..ops.kernels import rbf_kernel_log
     from jax.scipy.linalg import solve_triangular
 
-    dtype = jnp.dtype(dtype_name)
-    n_dev = mesh.devices.size
-    n_local = n_padded // n_dev
     n_cols = n_padded + 2  # [G' | Y | G'1]
 
     def shard_body(obs_p, intv_p, y_p, scale, noise):
@@ -883,7 +879,41 @@ def _ite_program(mesh: Mesh, n: int, n_padded: int, block: int, unroll: int, dty
         )
         return -m_acc, diag_d - q_acc, sum_d - s_quad
 
+    return shard_body
+
+
+@functools.lru_cache(maxsize=32)
+def _ite_program(mesh: Mesh, n: int, n_padded: int, block: int, unroll: int, dtype_name: str):
+    """Build + cache the jitted sharded conditioning program for a problem
+    shape (reused across posterior samples and doT values)."""
+    dtype = jnp.dtype(dtype_name)
+    n_local = n_padded // mesh.devices.size
+    shard_body = _make_ite_shard_body(n, n_padded, n_local, block, unroll, dtype)
     return jax.jit(jax.shard_map(shard_body, mesh=mesh, in_specs=P(), out_specs=P()))
+
+
+@functools.lru_cache(maxsize=32)
+def _ite_program_batched(
+    mesh: Mesh, n: int, n_padded: int, block: int, unroll: int, dtype_name: str
+):
+    """Sample-BATCHED sharded conditioning: vmap the shard body over a
+    leading posterior-sample axis inside the shard_map, so one dispatch
+    conditions a whole batch of posterior samples (amortizing the ~22-26 ms
+    fixed per-call dispatch cost of the axon backend — VERDICT r3 item 7).
+    The batch size is a runtime dimension of the inputs, so one compiled
+    program per distinct batch size."""
+    dtype = jnp.dtype(dtype_name)
+    n_local = n_padded // mesh.devices.size
+    shard_body = _make_ite_shard_body(n, n_padded, n_local, block, unroll, dtype)
+
+    def shard_body_batched(obs_b, intv_b, y_p, scale_b, noise_b):
+        return jax.vmap(
+            lambda o, i, s, z: shard_body(o, i, y_p, s, z)
+        )(obs_b, intv_b, scale_b, noise_b)
+
+    return jax.jit(
+        jax.shard_map(shard_body_batched, mesh=mesh, in_specs=P(), out_specs=P())
+    )
 
 
 def ite_distributions_large_n(
@@ -898,6 +928,7 @@ def ite_distributions_large_n(
     unroll: int = 1,
     prediction_covariance_noise: float = 1e-10,
     dtype=None,
+    sample_batch: Optional[int] = 8,
 ):
     """Batched :func:`conditional_ite_large_n` over a stacked posterior
     pytree (leading dim S, e.g. ``GPSLCObject.retained_samples()``).
@@ -906,21 +937,78 @@ def ite_distributions_large_n(
     (``ITEDistributions``, ``src/estimation.jl:66-86``) returning per-sample
     per-individual MARGINAL moments instead of full covariances:
     ``(mean_ites (S, n), var_ites (S, n), sate_means (S,), sate_vars (S,))``.
-    Host loop over samples; the sharded program compiles once and is reused.
+
+    ``sample_batch`` posterior samples run per dispatch through the
+    sample-batched sharded program (the vmapped shard body) — ceil(S/batch)
+    dispatches instead of S, amortizing the fixed ~22-26 ms per-call cost
+    (VERDICT r3 item 7); it also bounds per-device memory (each in-flight
+    sample holds ~4 row-sharded (n_local, n_padded) blocks). ``None`` or
+    ``1`` falls back to the original per-sample host loop.
     """
     n_s = int(np.asarray(jax.tree.leaves(samples)[0]).shape[0])
+    if not sample_batch or sample_batch <= 1:
+        means, vars_, sm, sv = [], [], [], []
+        for i in range(n_s):
+            p_i = jax.tree.map(lambda a: None if a is None else a[i], samples)
+            m, v, a, b = conditional_ite_large_n(
+                p_i, t, y, do_t, x=x, mesh=mesh, block=block, unroll=unroll,
+                prediction_covariance_noise=prediction_covariance_noise, dtype=dtype,
+            )
+            means.append(m)
+            vars_.append(v)
+            sm.append(a)
+            sv.append(b)
+        return (jnp.stack(means), jnp.stack(vars_), jnp.stack(sm), jnp.stack(sv))
+
+    mesh = mesh if mesh is not None else n_mesh()
+    n_dev = mesh.devices.size
+    t = np.asarray(t)
+    y = np.asarray(y)
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    n = int(y.shape[0])
+    nx = 0 if x is None else int(np.asarray(x).shape[1])
+    n_padded = _padded_size(n, n_dev, block)
+    n_pad = n_padded - n
+
+    t_j = jnp.asarray(t, dtype=dtype)
+    do_vec = jnp.broadcast_to(jnp.asarray(do_t, dtype=dtype), (n,))
+    y_p = _pad_vec(jnp.asarray(y, dtype=dtype), n_pad)
+    x_j = None if nx == 0 else jnp.asarray(np.asarray(x), dtype=dtype)
+
+    def _y_feats(tvec, p):
+        parts = [tvec[:, None] / p.ty_ls]
+        if p.u is not None:
+            parts.append(p.u / p.uy_ls)
+        if nx:
+            parts.append(x_j / p.xy_ls)
+        return jnp.concatenate(parts, axis=1)
+
+    program = _ite_program_batched(mesh, n, n_padded, block, unroll, jnp.dtype(dtype).name)
+    pred_noise = jnp.asarray(prediction_covariance_noise, dtype=dtype)
+
     means, vars_, sm, sv = [], [], [], []
-    for i in range(n_s):
-        p_i = jax.tree.map(lambda a: None if a is None else a[i], samples)
-        m, v, a, b = conditional_ite_large_n(
-            p_i, t, y, do_t, x=x, mesh=mesh, block=block, unroll=unroll,
-            prediction_covariance_noise=prediction_covariance_noise, dtype=dtype,
+    for start in range(0, n_s, sample_batch):
+        idx = np.arange(start, min(start + sample_batch, n_s))
+        p_b = jax.tree.map(
+            lambda a: None if a is None else jnp.asarray(a, dtype=dtype)[idx], samples
         )
-        means.append(m)
-        vars_.append(v)
-        sm.append(a)
-        sv.append(b)
-    return (jnp.stack(means), jnp.stack(vars_), jnp.stack(sm), jnp.stack(sv))
+        obs_b = jax.vmap(lambda p: _pad_features(_y_feats(t_j, p), n_pad))(p_b)
+        intv_b = jax.vmap(lambda p: _pad_features(_y_feats(do_vec, p), n_pad))(p_b)
+        scale_b = jnp.asarray(p_b.y_scale, dtype=dtype)
+        noise_b = jnp.asarray(p_b.y_noise, dtype=dtype)
+        mean_p, var_p, cov_sum = program(obs_b, intv_b, y_p, scale_b, noise_b)
+        mean_ite = mean_p[:, :n]
+        var_ite = jnp.maximum(var_p[:, :n], 0.0) + pred_noise
+        means.append(mean_ite)
+        vars_.append(var_ite)
+        sm.append(jnp.mean(mean_ite, axis=1))
+        sv.append((cov_sum + n * pred_noise) / (n * n))
+    return (
+        jnp.concatenate(means, axis=0),
+        jnp.concatenate(vars_, axis=0),
+        jnp.concatenate(sm, axis=0),
+        jnp.concatenate(sv, axis=0),
+    )
 
 
 def ite_samples_marginal(key, mean_ites, var_ites, n_per_mixture: int):

@@ -291,6 +291,40 @@ def test_ite_distributions_large_n_end_to_end():
     assert np.isfinite(np.asarray(draws)).all()
 
 
+def test_ite_distributions_sample_batched_matches_loop():
+    """The sample-batched sharded conditioning program (one dispatch per
+    sample_batch posterior samples, VERDICT r3 item 7) must reproduce the
+    per-sample host loop, including a partial final chunk (5 samples in
+    chunks of 2)."""
+    from causalgpslc_tpu.models.state import init_from_prior
+    from causalgpslc_tpu.parallel.large_n import ite_distributions_large_n
+
+    n = 24
+    counts = [6, 6, 6, 6]
+    rng = np.random.default_rng(5)
+    t = rng.normal(size=n)
+    y = 0.3 * t + rng.normal(size=n) * 0.5
+    spec = ModelSpec(n=n, n_u=1, n_x=None, binary_t=False)
+    data = ModelData(
+        t=jnp.asarray(t), y=jnp.asarray(y),
+        sigma_u=jnp.asarray(generate_sigma_u(counts)),
+    )
+    pp = default_prior_parameters()
+    ps = [init_from_prior(jax.random.PRNGKey(s), spec, pp, data) for s in range(5)]
+    samples = jax.tree.map(lambda *ls: jnp.stack(ls), *ps)
+
+    loop = ite_distributions_large_n(
+        samples, t, y, 0.6, mesh=n_mesh(4), block=4, sample_batch=None
+    )
+    batched = ite_distributions_large_n(
+        samples, t, y, 0.6, mesh=n_mesh(4), block=4, sample_batch=2
+    )
+    for a, b, name in zip(loop, batched, ("mean", "var", "sate_m", "sate_v")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12, err_msg=name
+        )
+
+
 def test_run_mcmc_large_n_float32_sane_log_joint():
     """f32 eps-floor regression: at the reference's sigmaUNoise=1e-13 the
     Sherman-Morrison U-prior divides by a = uNoise * eps, and f32
