@@ -80,6 +80,7 @@ from ..ops.structured import segment_ids_from_counts, sigma_u_logpdf, sigma_u_sa
 
 __all__ = [
     "n_mesh",
+    "chains_n_mesh",
     "sharded_gp_logpdf",
     "run_mcmc_large_n",
     "run_mcmc_large_n_checkpointed",
@@ -109,6 +110,26 @@ def n_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (N_AXIS,))
+
+
+CHAIN_AXIS = "chains"
+
+
+def chains_n_mesh(n_chain_rows: int, devices=None) -> Mesh:
+    """2-D (chains, n) mesh: chain data-parallelism composed with intra-op
+    N-sharding. Each of the ``n_chain_rows`` rows holds an independent
+    chain group whose N x N covariances shard over that row's devices; the
+    "n" collectives (distributed Cholesky panels, psum reductions) stay
+    within a row, and cross-chain pooled statistics reduce over "chains"."""
+    if devices is None:
+        devices = jax.devices()
+    nd = len(devices)
+    if nd % n_chain_rows != 0:
+        raise ValueError(f"{nd} devices do not split into {n_chain_rows} chain rows")
+    return Mesh(
+        np.asarray(devices).reshape(n_chain_rows, nd // n_chain_rows),
+        (CHAIN_AXIS, N_AXIS),
+    )
 
 
 def _padded_size(n: int, n_devices: int, block: int) -> int:
@@ -323,16 +344,21 @@ def run_mcmc_large_n(
         runner passes slices of one split so interrupted runs reproduce the
         uninterrupted chain bit-exactly.
 
-    Single chain (chain parallelism composes as a second mesh axis: chains
-    are embarrassingly parallel, so a (chains, n) 2-D mesh runs this program
-    per chain row).  Returns ``(samples, stats, final_params)`` with sample
-    leaves of leading dim ``n_outer``, mirroring
+    Chains: on a 1-D ``n_mesh()`` this runs ONE chain and sample leaves lead
+    with ``n_outer``. On a 2-D :func:`chains_n_mesh` mesh it runs
+    ``hp.n_chains`` chains (a multiple of the chains-axis size), vmapped over
+    each row's local chains and sharded over the ``"chains"`` axis — chain
+    ``c`` uses key ``fold_in(key, c)`` and is bit-identical to a 1-D run
+    from that key (tested); sample leaves then lead with
+    ``(n_chains, n_outer)``, mirroring
     :func:`causalgpslc_tpu.inference.gibbs.run_mcmc`.
     """
     priors = dict(priors) if priors is not None else default_prior_parameters()
     hp = hp if hp is not None else default_hyperparameters()
     mesh = mesh if mesh is not None else n_mesh()
-    n_dev = mesh.devices.size
+    # N-sharding spans only the "n" axis (a 2-D chains x n mesh divides its
+    # devices between chain rows, each row sharding the covariances)
+    n_dev = mesh.shape[N_AXIS]
 
     t = np.asarray(t)
     y = np.asarray(y)
@@ -572,15 +598,18 @@ def run_mcmc_large_n(
 
     from ..ops.distributions import inv_gamma_sample
 
-    k_init, k_run = jax.random.split(jax.random.key(0) if key is None else key)
-    k_lt, k_steps = jax.random.split(k_run)
-    if step_keys is None:
-        step_keys = jax.random.split(k_steps, hp.n_outer)
+    def chain_inputs(chain_key, chain_init):
+        """Derive one chain's (step_keys, k_lt, u0, params0) — identical to
+        the single-chain derivation, so a chain on the 2-D mesh is bit-exact
+        with a 1-D run from the same chain key."""
+        k_init, k_run = jax.random.split(chain_key)
+        k_lt, k_steps = jax.random.split(k_run)
+        sk = jax.random.split(k_steps, hp.n_outer) if step_keys is None else step_keys
 
-    if resume:
-        params0 = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), init_params)
-        u0 = params0.u
-    else:
+        if chain_init is not None:
+            params0 = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), chain_init)
+            return sk, k_lt, params0.u, params0
+
         # init from the prior (replicated randomness)
         def ig(kk, stem, shape=()):
             a = jnp.full(shape, priors_j[stem + "Shape"], dtype=dtype)
@@ -609,9 +638,53 @@ def run_mcmc_large_n(
             xy_ls=ig(keys[8], "xyLS", (nx,)) if nx else None,
             logit_t=jnp.zeros((n,), dtype=dtype) if binary_t else None,
         )
+        return sk, k_lt, u0, params0
 
-    shmap = jax.shard_map(run_shard, mesh=mesh, in_specs=P(), out_specs=P())
-    return jax.jit(shmap)(step_keys, k_lt, u0, params0)
+    base_key = jax.random.key(0) if key is None else key
+
+    if CHAIN_AXIS not in mesh.axis_names:
+        # 1-D "n" mesh: single chain (the original path)
+        sk, k_lt, u0, params0 = chain_inputs(base_key, init_params if resume else None)
+        shmap = jax.shard_map(run_shard, mesh=mesh, in_specs=P(), out_specs=P())
+        return jax.jit(shmap)(sk, k_lt, u0, params0)
+
+    # 2-D (chains, n) mesh: chains are embarrassingly parallel, so the SAME
+    # per-chain program runs vmapped over the local chain rows with all "n"
+    # collectives confined to each chains-row of the mesh. Chain c's key is
+    # fold_in(key, c), exactly what a 1-D run of that chain would use, so
+    # per-chain results are bit-identical to 1-D runs (tested). Cross-chain
+    # pooled statistics reduce over the "chains" axis downstream.
+    n_chains = hp.n_chains
+    c_size = mesh.shape[CHAIN_AXIS]
+    if n_chains % c_size != 0:
+        raise ValueError(
+            f"n_chains={n_chains} must be a multiple of the chains mesh axis ({c_size})"
+        )
+    chain_keys = jax.vmap(lambda c: jax.random.fold_in(base_key, c))(
+        jnp.arange(n_chains)
+    )
+    per_chain_init = (
+        (lambda c: jax.tree.map(lambda a: None if a is None else a[c], init_params))
+        if resume
+        else (lambda c: None)
+    )
+    ins = [chain_inputs(chain_keys[c], per_chain_init(c)) for c in range(n_chains)]
+    stack = lambda *ls: jax.tree.map(lambda *xs: jnp.stack(xs), *ls)
+    sk_c, k_lt_c, u0_c, params0_c = (stack(*[t[i] for t in ins]) for i in range(4))
+
+    def run_shard_chains(sk, klt, u0, p0):
+        return jax.vmap(run_shard)(sk, klt, u0, p0)
+
+    # check_vma=False: the varying-manual-axes analysis would require every
+    # loop-carry init inside dist_linalg to be pcast to chains-varying; the
+    # collectives themselves are all over the "n" axis and independent of the
+    # chains placement, so the check is disabled for the 2-D wrap (per-chain
+    # bit-equivalence with the fully-checked 1-D path is regression-tested).
+    shmap = jax.shard_map(
+        run_shard_chains, mesh=mesh, in_specs=P(CHAIN_AXIS), out_specs=P(CHAIN_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(shmap)(sk_c, k_lt_c, u0_c, params0_c)
 
 
 def run_mcmc_large_n_checkpointed(

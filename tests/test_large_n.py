@@ -291,6 +291,72 @@ def test_ite_distributions_large_n_end_to_end():
     assert np.isfinite(np.asarray(draws)).all()
 
 
+def test_run_mcmc_large_n_2d_chains_mesh_matches_1d():
+    """The (chains x n) 2-D mesh (VERDICT r3 item 3): multi-chain large-N on
+    a 2x4 mesh must reproduce each chain's 1-D (4-device n-mesh) run
+    bit-for-bit (chain c's key is fold_in(key, c) in both layouts), and
+    pooled statistics ride the chain axis."""
+    from causalgpslc_tpu.parallel.large_n import chains_n_mesh, run_mcmc_large_n
+
+    n = 24
+    counts = [6, 6, 6, 6]
+    rng = np.random.default_rng(2)
+    t = rng.normal(size=n)
+    y = 0.4 * t + rng.normal(size=n) * 0.5
+    hp = default_hyperparameters().replace(
+        n_outer=3, n_mh_inner=1, n_es_inner=1, n_burn_in=1, n_chains=2
+    )
+    key = jax.random.key(7)
+
+    mesh2d = chains_n_mesh(2)  # 2 chain rows x 4-way n-sharding
+    samples2d, stats2d, final2d = run_mcmc_large_n(
+        key, t, y, counts, hp=hp, mesh=mesh2d, block=2
+    )
+    assert np.asarray(samples2d.ty_ls).shape == (2, hp.n_outer)
+
+    for c in range(2):
+        s1, st1, _ = run_mcmc_large_n(
+            jax.random.fold_in(key, c), t, y, counts,
+            hp=hp.replace(n_chains=1), mesh=n_mesh(4), block=2,
+        )
+        for f in s1._fields:
+            a = getattr(s1, f)
+            if a is None:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(getattr(samples2d, f))[c], np.asarray(a), err_msg=f"{f} chain {c}"
+            )
+        np.testing.assert_array_equal(
+            np.asarray(stats2d.log_joint)[c], np.asarray(st1.log_joint)
+        )
+
+    # pooled cross-chain stats reduce over the chain axis
+    pooled = float(np.mean(np.asarray(stats2d.mh_accept_rate)))
+    assert np.isfinite(pooled)
+
+    # distinct chains actually differ
+    assert not np.array_equal(
+        np.asarray(samples2d.ty_ls)[0], np.asarray(samples2d.ty_ls)[1]
+    )
+
+
+def test_chains_n_mesh_validation():
+    from causalgpslc_tpu.parallel.large_n import chains_n_mesh, run_mcmc_large_n
+
+    with pytest.raises(ValueError, match="chain rows"):
+        chains_n_mesh(3)  # 8 devices don't split into 3 rows
+    mesh2d = chains_n_mesh(2)
+    hp = default_hyperparameters().replace(
+        n_outer=1, n_mh_inner=1, n_es_inner=0, n_burn_in=1, n_chains=3
+    )
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="multiple of the chains mesh axis"):
+        run_mcmc_large_n(
+            jax.random.key(0), rng.normal(size=8), rng.normal(size=8),
+            [4, 4], hp=hp, mesh=mesh2d, block=2,
+        )
+
+
 def test_ite_distributions_sample_batched_matches_loop():
     """The sample-batched sharded conditioning program (one dispatch per
     sample_batch posterior samples, VERDICT r3 item 7) must reproduce the
