@@ -112,10 +112,13 @@ def main():
         mh_wide_prob=float(os.environ.get("BENCH_WIDE_PROB", 0.3)),
         ess_spec_batch=int(os.environ.get("BENCH_ESS_SPEC", 1)),
         # flattened chunk execution (round 4): one scan of switch-dispatched
-        # phase steps per chunk — bit-identical samples, but nested-loop
-        # re-staging (~0.3 s/outer on axon; benchmarks/profile2_r04.json) is
-        # paid once per chunk instead of once per outer iteration.
-        flat_execution=os.environ.get("BENCH_FLAT", "1") == "1",
+        # phase steps per chunk — bit-identical samples (measured: identical
+        # min-ESS 63.04) but SLOWER at the bench config (36.9 s vs 31.7 s):
+        # every branch change re-pays the streaming premium, so the uniform-
+        # body replay win of the flat_mh probe does not survive the
+        # heterogeneous phase schedule. Off by default; kept as an execution
+        # mode (its bitwise equivalence is a strong sweep-semantics check).
+        flat_execution=os.environ.get("BENCH_FLAT", "0") == "1",
     )
     pp = cg.default_prior_parameters()
     spec, data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)

@@ -78,7 +78,15 @@ _BASE_TILE = 16
 _SP = 32  # sub-panel width inside the base-case kernel
 
 
-_UNROLL = 4  # masked column steps per Mosaic loop iteration
+# Masked column steps per Mosaic loop iteration. Round-4 micro-profiling
+# (benchmarks/fused_micro.json) showed the base kernel IS the block-eval
+# bottleneck (1.34 of 2.4 ms at the bench shape: 4 grid programs x 32 loop
+# iterations at ~10 us each), so the sweep runs fewer, wider iterations.
+# Env override CAUSALGPSLC_CHOL_UNROLL for experiments; values beyond ~16
+# risk the remote Mosaic compiler (CLAUDE.md).
+import os as _os
+
+_UNROLL = int(_os.environ.get("CAUSALGPSLC_CHOL_UNROLL", 4))
 
 
 def _chol_base_kernel(dg_ref, outg_ref, *, bc: int, nb: int):
@@ -167,8 +175,71 @@ def _chol_base_xla(d: jax.Array) -> jax.Array:
     return jnp.linalg.cholesky(d)
 
 
+def _chol_base_unrolled_xla(d: jax.Array) -> jax.Array:
+    """Control-flow-free base-case Cholesky in pure XLA (no Pallas, no While).
+
+    Round-4 micro-profiling (benchmarks/fused_micro.json + grid-scaling
+    probe) measured the axon runtime's cost law: every sequential
+    control-flow step — an XLA While iteration or a Pallas GRID STEP — costs
+    ~0.33 ms, while fused straight-line XLA chains are nearly free (the ~30
+    matmuls of the Newton-Schulz inverse measure 0.04 ms). The Pallas base
+    kernel's grid steps were therefore the block-evaluation bottleneck
+    (1.34 of 2.4 ms at the bench shape). This variant is the same
+    right-looking sub-panel algorithm as the Pallas kernel — _SP-wide
+    panels, masked column sweep, rank-_SP MXU trailing updates — expressed
+    as a fully unrolled straight-line XLA graph. Bit-comparable numerics
+    (same operation order up to fusion reassociation).
+    """
+    b, nb, _ = d.shape
+    dtype = d.dtype
+    acc_t = jnp.promote_types(dtype, jnp.float32)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (b, nb), 1)
+    pcols = jax.lax.broadcasted_iota(jnp.int32, (b, nb, _SP), 2)
+
+    panels = []
+    trailing = d
+    for p in range(nb // _SP):
+        ps = p * _SP
+        panel = trailing[:, :, :_SP]
+        trailing = trailing[:, :, _SP:]
+        for j in range(_SP):
+            gj = ps + j
+            col = jnp.sum(jnp.where(pcols == j, panel, 0.0), axis=2)
+            piv = jnp.sum(jnp.where(rows1 == gj, col, 0.0), axis=1)
+            lcol = jnp.where(rows1 >= gj, col * jax.lax.rsqrt(piv)[:, None], 0.0)
+            lrow = lcol[:, ps : ps + _SP]
+            panel = jnp.where(
+                pcols == j, lcol[:, :, None], panel - lcol[:, :, None] * lrow[:, None, :]
+            )
+        panels.append(panel)
+        if trailing.shape[2] > 0:
+            lp_rows = panel[:, ps + _SP :, :]
+            upd = jax.lax.dot_general(
+                panel, lp_rows, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=acc_t,
+            ).astype(dtype)
+            trailing = trailing - upd
+    return jnp.concatenate(panels, axis=2)
+
+
+# TPU base-case implementation. "pallas" (default): the grid-1 kernel —
+# 4 compact calls per 512-eval at ~0.33 ms each (the axon per-call/grid-step
+# quantum). "unrolled": the same algorithm as straight-line XLA — 3.4x
+# faster in an isolated scan-replay micro (0.40 vs 1.37 ms,
+# benchmarks/fused_micro.json) but 2.6x SLOWER in the full bench program
+# (84 s vs 32 s, identical samples): its ~700-op body exceeds the runtime's
+# replay cache, so every outer iteration re-streams it at ~25 us/op.
+# Compact ops replay; big straight-line bodies re-stream — the round-4
+# cost law (BASELINE.md).
+_BASE_MODE = _os.environ.get("CAUSALGPSLC_CHOL_BASE", "pallas")
+
+
 def chol_base(d: jax.Array, *, use_pallas: bool, interpret: bool = False) -> jax.Array:
-    return _chol_base_call(d, interpret=interpret) if use_pallas else _chol_base_xla(d)
+    if use_pallas:
+        if _BASE_MODE == "unrolled":
+            return _chol_base_unrolled_xla(d)
+        return _chol_base_call(d, interpret=interpret)
+    return _chol_base_xla(d)
 
 
 # ---------------------------------------------------------------------------
@@ -285,6 +356,10 @@ def _make_blocked_cholesky_flat(use_pallas: bool, interpret: bool):
 
     @jax.custom_batching.custom_vmap
     def flat_chol(cov: jax.Array):
+        # (A panel-concat restructure of this driver — avoiding the .at[].set
+        # full-buffer updates — measured performance-neutral on-chip in round
+        # 4 and was reverted to keep the compiled program, and therefore the
+        # committed compile cache, byte-stable.)
         dtype = cov.dtype
         acc_t = jnp.promote_types(dtype, jnp.float32)
         n_pad = cov.shape[-1]

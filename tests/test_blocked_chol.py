@@ -117,3 +117,18 @@ def test_batched_leading_dims_and_unbatched_factor_broadcast():
     lp = np.asarray(mvn_logpdf_b(jnp.asarray(y), f))
     mvn = scipy.stats.multivariate_normal(np.zeros(n), cov)
     np.testing.assert_allclose(lp, mvn.logpdf(y), atol=1e-6)
+
+
+def test_base_mode_unrolled_matches_pallas_kernel():
+    """The straight-line XLA base (`CAUSALGPSLC_CHOL_BASE=unrolled`, the TPU
+    default since round 4 — no Pallas grid-step quanta) is the SAME
+    right-looking sub-panel algorithm as the Pallas kernel; factors must
+    agree to rounding (bit-identical on TPU, same-order f64 here)."""
+    from causalgpslc_tpu.ops import blocked_chol as bc
+
+    rng = np.random.default_rng(7)
+    d = _spd(rng, 4, 128)
+    got_u = np.asarray(bc._chol_base_unrolled_xla(jnp.asarray(d)))
+    got_p = np.asarray(bc._chol_base_call(jnp.asarray(d), interpret=True))
+    np.testing.assert_allclose(got_u, got_p, rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(got_u, np.linalg.cholesky(d), atol=1e-10)
