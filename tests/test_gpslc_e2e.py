@@ -236,3 +236,27 @@ def test_synthetic_golden_regressions(dataset, data_dir):
                 f"{dataset}: our converged sample scores {lj_ours:.1f} <= "
                 f"golden-like tyLS={ty_ls}: {lj_golden_like:.1f}"
             )
+
+
+def test_io_refuses_legacy_pickle_without_opt_in(tmp_path, data_dir):
+    """The .gpslc format is npz+JSON since round 4: loading executes no
+    code. Legacy pickle files (arbitrary-code-on-load) need an explicit
+    allow_pickle=True opt-in."""
+    import pickle
+
+    hp = cg.default_hyperparameters(n_u=1, **TINY)
+    g = cg.gpslc(str(data_dir / "no_cov.csv"), hyperparams=hp)
+    legacy = tmp_path / "legacy.gpslc"
+    with open(legacy, "wb") as f:
+        pickle.dump(g, f)
+    with pytest.raises(ValueError, match="allow_pickle"):
+        cg.load_gpslc_object(str(legacy))
+    g2 = cg.load_gpslc_object(str(legacy), allow_pickle=True)
+    assert g2.spec == g.spec
+    # the new format round-trips stats as a typed StepStats
+    p = cg.save_gpslc_object(g, str(tmp_path / "new"))
+    g3 = cg.load_gpslc_object(p)
+    assert type(g3.stats).__name__ == "StepStats"
+    np.testing.assert_array_equal(
+        np.asarray(g3.stats.mh_accept_rate), np.asarray(g.stats.mh_accept_rate)
+    )
