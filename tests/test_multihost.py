@@ -221,3 +221,34 @@ def test_two_process_large_n_sharding(tmp_path):
     # collective results agree bitwise across processes
     vals = {line.split("gp=")[1] for out in outs for line in out.splitlines() if "gp=" in line}
     assert len(vals) == 1, f"cross-process results diverged: {vals}"
+
+
+def test_bench_pod_single_process_smoke(tmp_path):
+    """bench_pod.py without a process group: single host, virtual 2-device
+    chain mesh, tiny budgets — the fast-tier guard that the pod artifact
+    keeps importing/running as the library evolves."""
+    import json
+
+    repo_root = str(pathlib.Path(__file__).parent.parent)
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        "BENCH_N": "24",
+        "BENCH_CHAINS_PER_DEV": "2",
+        "BENCH_OUTER": "4",
+        "BENCH_CHUNK": "2",
+        "BENCH_MH_INNER": "1",
+        "BENCH_ES_INNER": "1",
+    }
+    out = subprocess.run(
+        [sys.executable, str(pathlib.Path(repo_root) / "bench_pod.py")],
+        capture_output=True, text=True, env=env, cwd=repo_root, timeout=420,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    assert r["hosts"] == 1 and r["devices"] == 2 and r["chains"] == 4
+    assert r["min_ess"] > 0 and r["value"] > 0
