@@ -173,8 +173,6 @@ def run_mcmc_checkpointed(
     outer_step = make_outer_step(spec, priors, hp)
     dtype = data.y.dtype
 
-    priors_items = tuple(sorted((k, float(v)) for k, v in priors.items()))
-
     if hp.flat_execution:
         from ..inference.flat import make_flat_chunk_fn
 
