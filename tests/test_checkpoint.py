@@ -176,3 +176,30 @@ def test_scan_unroll_bitwise_identical():
         if a is None:
             continue
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+
+
+def test_resume_under_mesh_matches_uninterrupted(tmp_path):
+    """Crash-resume of the SHARDED chunked runner: the restored state must
+    continue bit-compatibly with an uninterrupted sharded run."""
+    from causalgpslc_tpu.parallel.mesh import chain_mesh
+
+    spec, pp, data, hp = setup(n_chains=8)
+    key = jax.random.PRNGKey(11)
+    mesh = chain_mesh()
+
+    full, _, _ = run_mcmc_checkpointed(
+        key, spec, pp, data, hp, str(tmp_path / "f.npz"), checkpoint_every=3, mesh=mesh
+    )
+    part = str(tmp_path / "p.npz")
+    with pytest.raises(_Interrupt):
+        run_mcmc_checkpointed(
+            key, spec, pp, data, hp, part, checkpoint_every=3, mesh=mesh,
+            progress_callback=_crash_after(3),
+        )
+    resumed, stats, _ = run_mcmc_checkpointed(
+        key, spec, pp, data, hp, part, checkpoint_every=3, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.ty_ls), np.asarray(full.ty_ls), rtol=1e-12
+    )
+    assert stats.mh_accept_rate.shape == (hp.n_chains, hp.n_outer)
