@@ -116,11 +116,15 @@ def stuck_sites(samples, min_unique: int = 2) -> list[str]:
 
 
 def summarize_chain_stats(stats) -> dict:
-    """Host-side summary of per-iteration StepStats."""
+    """Host-side summary of per-iteration stats (dense ``StepStats`` or the
+    large-N ``LargeNStats``, whose log-joint field is named ``log_joint``)."""
+    lj = getattr(stats, "log_joint_blocks", None)
+    if lj is None:
+        lj = stats.log_joint
     return {
         "mh_accept_rate": float(np.mean(np.asarray(stats.mh_accept_rate))),
         "mean_ess_iters": float(np.mean(np.asarray(stats.ess_iters))),
-        "final_log_joint": float(np.mean(np.asarray(stats.log_joint_blocks)[..., -1])),
+        "final_log_joint": float(np.mean(np.asarray(lj)[..., -1])),
     }
 
 
