@@ -144,18 +144,38 @@ def gpslc(
     spec, model_data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)
     hp = _spec_hp_consistent(spec, hp)
 
+    n_dev = len(jax.devices())
+    shardable = n_dev > 1 and hp.n_chains % n_dev == 0
+    if n_dev > 1 and not shardable:
+        import warnings
+
+        warnings.warn(
+            f"{n_dev} devices are visible but n_chains={hp.n_chains} is not "
+            "a multiple of the device count; running on ONE device. Set "
+            "n_chains to a multiple of len(jax.devices()) (chains are cheap "
+            "— round up) to shard across all chips.",
+            stacklevel=2,
+        )
     if verbose:
         from .parallel.checkpoint import run_mcmc_checkpointed
 
+        # the chunked runner shards chains over the mesh too, so asking for
+        # progress lines no longer forfeits multi-chip execution
+        mesh = None
+        if shardable:
+            from .parallel.mesh import chain_mesh
+
+            mesh = chain_mesh()
         samples, stats, _final = run_mcmc_checkpointed(
             jax.random.PRNGKey(seed),
             spec,
             pp,
             model_data,
             hp,
+            mesh=mesh,
             progress_callback=lambda done, total: print(f"[gpslc] outer {done}/{total}"),
         )
-    elif len(jax.devices()) > 1 and hp.n_chains % len(jax.devices()) == 0:
+    elif shardable:
         # Multi-chip: shard chains over the device mesh transparently (the
         # reference-parity entry point scales out without touching
         # causalgpslc_tpu.parallel). Per-chain results match the
@@ -166,17 +186,6 @@ def gpslc(
             jax.random.PRNGKey(seed), spec, pp, model_data, hp
         )
     else:
-        if len(jax.devices()) > 1:
-            import warnings
-
-            warnings.warn(
-                f"{len(jax.devices())} devices are visible but n_chains="
-                f"{hp.n_chains} is not a multiple of the device count; "
-                "running on ONE device. Set n_chains to a multiple of "
-                "len(jax.devices()) (chains are cheap — round up) to shard "
-                "across all chips.",
-                stacklevel=2,
-            )
         samples, stats, _final = sample_posterior(spec, pp, model_data, hp, seed=seed)
     return GPSLCObject(
         hyperparams=hp,

@@ -163,9 +163,9 @@ def run_sbc(
         return int(np.sum(draws < true_val))
 
     if vectorized:
-        priors_items = tuple(
-            sorted((k, float(v)) for k, v in priors.items() if not hasattr(v, "shape"))
-        )
+        from .hyperparameters import frozen_prior_items
+
+        priors_items = frozen_prior_items(priors)
         rb = rep_batch or n_replications
         for start in range(0, n_replications, rb):
             kb = all_keys[start : start + rb]

@@ -16,9 +16,34 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-__all__ = ["HyperParameters", "default_hyperparameters", "default_prior_parameters", "PriorParameters"]
+__all__ = [
+    "HyperParameters",
+    "default_hyperparameters",
+    "default_prior_parameters",
+    "frozen_prior_items",
+    "PriorParameters",
+]
 
 PriorParameters = dict
+
+
+def frozen_prior_items(priors: dict) -> tuple:
+    """Priors dict -> hashable sorted ``(name, float)`` tuple for jit statics.
+
+    Python and numpy scalars (0-d) coerce via ``float``; a genuinely
+    array-valued prior raises instead of being silently dropped (structure
+    matrices like SigmaU belong in ``ModelData``, never in the priors dict).
+    """
+    items = []
+    for k, v in sorted(priors.items()):
+        if getattr(v, "ndim", 0) > 0 or getattr(v, "shape", ()) != ():
+            raise ValueError(
+                f"prior {k!r} is array-valued (shape {getattr(v, 'shape', None)}); "
+                "priors must be scalars — pass structure matrices via the data, "
+                "not the priors dict"
+            )
+        items.append((k, float(v)))
+    return tuple(items)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +118,36 @@ class HyperParameters:
     # single-component proposal).
     mh_wide_drift: Optional[float] = None
     mh_wide_prob: float = 0.2
+    # --- Round-5 statistical-efficiency levers (all exact kernels) ---------
+    # Per-site proposal overrides: tuple of (field, drift, wide_drift,
+    # wide_prob) entries, e.g. (("ty_ls", 0.5, 300.0, 0.5),). Every MH move
+    # on that field uses its own narrow drift variance and wide-jump mixture
+    # (wide_drift <= 0 disables the wide component for that field); fields
+    # not listed keep the global (priors["drift"], mh_wide_drift,
+    # mh_wide_prob) configuration. The acceptance ratio always uses that
+    # move's exact (possibly mixture) proposal density, so any setting is a
+    # valid MH kernel for the same posterior. Motivation: lengthscale
+    # posteriors have wide flat plateaus that need frequent wide jumps while
+    # noise/scale posteriors are tight (BASELINE.md golden deep-dive) — one
+    # global mixture under-serves both. Site-sweep and grouped-sweep
+    # execution only (the blocked sweep rejects overrides).
+    mh_site_proposals: Optional[tuple] = None
+    # Delayed rejection (Tierney & Mira 1999) on the listed fields: stage 1
+    # ALWAYS proposes the wide jump; when it rejects, stage 2 proposes the
+    # narrow drift move from the CURRENT value and accepts with the exact
+    # two-stage DR ratio (which includes the reversed-path stage-1 rejection
+    # probability), so the kernel remains exactly invariant. Each DR move
+    # costs one extra block evaluation; restrict to the slow-mixing
+    # lengthscale sites. e.g. ("ty_ls",). Site-sweep execution only.
+    mh_dr_fields: Optional[tuple] = None
+    # Interleaved MH/ES schedule: split each outer iteration into this many
+    # Gibbs rounds of (n_mh_inner/rounds MH sweeps + n_es_inner/rounds ES
+    # sweeps), refreshing the frozen ESS prior covariances at each round's ES
+    # phase (the reference freezes them once per outer iteration; more
+    # frequent U/logitT refreshes between MH segments change mixing, not the
+    # stationary distribution). 1 = reference schedule (bit-identical to the
+    # round-4 program). Remainders go to the later rounds.
+    gibbs_rounds: int = 1
     # Flattened chunk execution (round 4): run each chunk as ONE lax.scan
     # over phase steps ([refresh, mh*, freeze, es*, final] per outer
     # iteration, lax.switch-dispatched) instead of an outer scan with nested
@@ -116,6 +171,34 @@ class HyperParameters:
             raise ValueError(f"step_size must be >= 1, got {self.step_size}")
         if self.n_chains < 1:
             raise ValueError(f"n_chains must be >= 1, got {self.n_chains}")
+        if self.gibbs_rounds < 1:
+            raise ValueError(f"gibbs_rounds must be >= 1, got {self.gibbs_rounds}")
+        if self.gibbs_rounds > 1:
+            if self.flat_execution:
+                raise ValueError("flat_execution does not support gibbs_rounds > 1")
+            budget = max(self.n_mh_inner or 0, self.n_es_inner or 0)
+            if self.gibbs_rounds > max(budget, 1):
+                raise ValueError(
+                    f"gibbs_rounds={self.gibbs_rounds} exceeds both inner budgets"
+                )
+        if self.mh_site_proposals is not None:
+            for entry in self.mh_site_proposals:
+                if len(entry) != 4:
+                    raise ValueError(
+                        "mh_site_proposals entries are (field, drift, "
+                        f"wide_drift, wide_prob); got {entry!r}"
+                    )
+            if self.mh_block_sweep:
+                raise ValueError(
+                    "mh_site_proposals requires the site or grouped sweep "
+                    "(mh_block_sweep proposes whole blocks jointly)"
+                )
+        if self.mh_dr_fields is not None:
+            if self.mh_block_sweep or self.mh_grouped_sweep:
+                raise ValueError(
+                    "mh_dr_fields (delayed rejection) requires the plain "
+                    "site sweep"
+                )
 
     def replace(self, **kw) -> "HyperParameters":
         return dataclasses.replace(self, **kw)

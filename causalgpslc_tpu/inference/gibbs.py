@@ -321,5 +321,6 @@ def _run_mcmc_jit(key, spec, priors_items, data, hp):
 
 def run_mcmc_jit(key, spec, priors: dict, data, hp):
     """Jitted entry: hashable statics, priors passed as a frozen item tuple."""
-    items = tuple(sorted((k, float(v)) for k, v in priors.items() if not hasattr(v, "shape")))
-    return _run_mcmc_jit(key, spec, items, data, hp)
+    from ..hyperparameters import frozen_prior_items
+
+    return _run_mcmc_jit(key, spec, frozen_prior_items(priors), data, hp)

@@ -38,9 +38,60 @@ from ..ops.distributions import inv_gamma_logpdf
 from ..ops.linalg import stacked_mvn_logliks
 from .proposal import propose, proposal_logpdf
 
-__all__ = ["sweep_moves", "mh_move", "mh_sweep", "mh_blocked_sweep", "grouped_rounds", "mh_grouped_sweep"]
+__all__ = [
+    "sweep_moves",
+    "resolve_move_proposals",
+    "mh_move",
+    "mh_move_dr",
+    "mh_sweep",
+    "mh_blocked_sweep",
+    "grouped_rounds",
+    "mh_grouped_sweep",
+]
 
 Move = Tuple[str, Optional[tuple]]
+
+# Per-move proposal configuration (round 5): (drift, wide, dr) where drift
+# is a static narrow variance (None -> priors["drift"]), wide the
+# (variance, prob) mixture for plain moves (None -> narrow only), and dr
+# flags the two-stage delayed-rejection move (wide stage 1 at wide[0],
+# narrow stage 2 at drift).
+MoveCfg = Tuple[Optional[float], Optional[tuple], bool]
+
+
+def resolve_move_proposals(spec: ModelSpec, hp) -> Optional[list]:
+    """Static per-move ``MoveCfg`` list from the HyperParameters levers.
+
+    Returns None when no per-site overrides or DR fields are configured, so
+    the default path traces the exact round-4 program (cache stability).
+    """
+    if not (hp.mh_site_proposals or hp.mh_dr_fields):
+        return None
+    overrides = {e[0]: e[1:] for e in (hp.mh_site_proposals or ())}
+    dr_fields = set(hp.mh_dr_fields or ())
+    global_wide = (hp.mh_wide_drift, hp.mh_wide_prob) if hp.mh_wide_drift else None
+    cfg: list = []
+    for field, _idx in sweep_moves(spec):
+        if field in overrides:
+            drift, wd, wp = overrides[field]
+            drift = float(drift) if drift is not None else None
+            wide = (float(wd), float(wp)) if (wd and wd > 0 and wp and wp > 0) else None
+        else:
+            drift, wide = None, global_wide
+        dr = field in dr_fields
+        if dr:
+            wide_var = wide[0] if wide is not None else (
+                float(overrides[field][1]) if field in overrides and overrides[field][1] else None
+            )
+            if wide_var is None or wide_var <= 0:
+                raise ValueError(
+                    f"delayed rejection on {field!r} needs a wide variance: set "
+                    "mh_wide_drift or an mh_site_proposals entry for it"
+                )
+            cfg.append((drift, (wide_var, 1.0), True))
+        else:
+            cfg.append((drift, wide, False))
+    return cfg
 
 
 def sweep_moves(spec: ModelSpec) -> list[Move]:

@@ -128,8 +128,21 @@ def load_gpslc_object(filename: str, allow_pickle: bool = False) -> GPSLCObject:
         data = _get(z, "data", ModelData, ModelData._fields)
         samples = _get(z, "samples", GPSLCParams, GPSLCParams._fields)
         stats = None
-        if meta.get("stats_class") == "StepStats":
+        stats_class = meta.get("stats_class")
+        if stats_class == "StepStats":
             stats = _get(z, "stats", StepStats, StepStats._fields)
+        elif stats_class == "LargeNStats":
+            from .parallel.large_n import LargeNStats
+
+            stats = _get(z, "stats", LargeNStats, LargeNStats._fields)
+        elif stats_class is not None:
+            import warnings
+
+            warnings.warn(
+                f"unknown stats class {stats_class!r} in {path}; stats "
+                "restored as None",
+                stacklevel=2,
+            )
         return GPSLCObject(
             hyperparams=hp,
             priorparams=meta["priorparams"],

@@ -707,10 +707,27 @@ def run_mcmc_large_n_checkpointed(
     :func:`run_mcmc_large_n`), each chunk resumes from the previous chunk's
     final state, and the chain is bit-exact with the uninterrupted run.
     Snapshots reuse the npz chain-state format of ``parallel.checkpoint``.
+
+    The 2-D (chains x n) mesh is NOT supported here: this runner derives one
+    explicit ``step_keys`` stream (all chains would share per-outer
+    randomness -> correlated chains) and concatenates chunks along axis 0
+    (the CHAIN axis of multi-chain samples). Pass a 1-D ``n`` mesh; for
+    multi-chain large-N use the one-shot :func:`run_mcmc_large_n` with
+    ``chains_n_mesh``.
     """
     import os as _os
 
     from .checkpoint import load_chain_state, save_chain_state
+
+    mesh_kw = kwargs.get("mesh")
+    if mesh_kw is not None and CHAIN_AXIS in getattr(mesh_kw, "axis_names", ()):
+        raise ValueError(
+            "run_mcmc_large_n_checkpointed does not support a mesh with a "
+            f"'{CHAIN_AXIS}' axis: the explicit per-chunk step_keys stream "
+            "would be shared across chains and chunk concatenation assumes a "
+            "leading outer axis. Use a 1-D n-mesh here, or the one-shot "
+            "run_mcmc_large_n for the 2-D chains x n layout."
+        )
 
     hp = hp if hp is not None else default_hyperparameters()
     k_init, k_run = jax.random.split(jax.random.key(0) if key is None else key)

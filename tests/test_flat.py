@@ -117,6 +117,11 @@ def test_flat_identical_grouped_sweep():
     _assert_identical(_run_both(spec, pp, data, hp))
 
 
+def test_flat_identical_blocked_sweep():
+    spec, pp, data, hp = _setup("minimal.csv", mh_block_sweep=True)
+    _assert_identical(_run_both(spec, pp, data, hp))
+
+
 def test_flat_identical_adaptive_drifts():
     spec, pp, data, hp = _setup("no_cov.csv", adapt_proposals=True, n_burn_in=4, n_outer=6)
     _assert_identical(_run_both(spec, pp, data, hp))

@@ -260,3 +260,24 @@ def test_io_refuses_legacy_pickle_without_opt_in(tmp_path, data_dir):
     np.testing.assert_array_equal(
         np.asarray(g3.stats.mh_accept_rate), np.asarray(g.stats.mh_accept_rate)
     )
+
+
+def test_io_round_trip_large_n_stats(tmp_path, data_dir):
+    """LargeNStats (the large-N runner's stats NamedTuple) survives the
+    save/load round trip instead of being dropped to None (ADVICE r4)."""
+    import dataclasses
+
+    from causalgpslc_tpu.parallel.large_n import LargeNStats
+
+    hp = cg.default_hyperparameters(n_u=1, **TINY)
+    g = cg.gpslc(str(data_dir / "no_cov.csv"), hyperparams=hp)
+    st = LargeNStats(
+        mh_accept_rate=np.asarray(g.stats.mh_accept_rate),
+        ess_iters=np.asarray(g.stats.ess_iters),
+        log_joint=np.asarray(g.stats.log_joint_blocks),
+    )
+    g_ln = dataclasses.replace(g, stats=st)
+    path = cg.save_gpslc_object(g_ln, str(tmp_path / "ln"))
+    g2 = cg.load_gpslc_object(path)
+    assert type(g2.stats).__name__ == "LargeNStats"
+    np.testing.assert_allclose(np.asarray(g2.stats.log_joint), st.log_joint)

@@ -587,3 +587,26 @@ def test_large_n_scale_cpu_regression():
         jax.random.key(5), t, y, counts, hp=hp, mesh=mesh, block=64
     )
     assert np.all(np.isfinite(np.asarray(stats.log_joint)))
+
+
+def test_checkpointed_runner_rejects_chains_mesh(tmp_path):
+    """The chunked large-N runner concatenates along the outer axis and
+    shares one step_keys stream, both wrong for multi-chain 2-D meshes — it
+    must refuse a mesh carrying the chains axis (ADVICE r4 medium)."""
+    from causalgpslc_tpu.parallel.large_n import (
+        chains_n_mesh,
+        run_mcmc_large_n_checkpointed,
+    )
+
+    n = 16
+    counts = [4, 4, 4, 4]
+    rng = np.random.default_rng(0)
+    t, y = rng.normal(size=n), rng.normal(size=n)
+    mesh = chains_n_mesh(2)
+    hp = default_hyperparameters(
+        n_outer=2, n_mh_inner=1, n_es_inner=1, n_burn_in=1, n_u=1, n_chains=2
+    )
+    with pytest.raises(ValueError, match="chains"):
+        run_mcmc_large_n_checkpointed(
+            jax.random.key(0), t, y, counts, hp=hp, mesh=mesh
+        )

@@ -61,3 +61,17 @@ def test_hyperparameter_validation():
         default_hyperparameters(step_size=0)
     with pytest.raises(ValueError, match="n_chains"):
         default_hyperparameters(n_chains=0)
+
+
+def test_frozen_prior_items_coerces_numpy_scalars():
+    """numpy-scalar prior values coerce instead of being silently dropped;
+    genuinely array-valued priors raise (ADVICE r4)."""
+    import numpy as np
+    import pytest
+
+    from causalgpslc_tpu.hyperparameters import frozen_prior_items
+
+    items = frozen_prior_items({"a": np.float64(2.5), "b": 1, "c": np.array(3.0)})
+    assert items == (("a", 2.5), ("b", 1.0), ("c", 3.0))
+    with pytest.raises(ValueError, match="array-valued"):
+        frozen_prior_items({"SigmaU": np.eye(3)})
