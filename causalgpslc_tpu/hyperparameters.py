@@ -140,6 +140,16 @@ class HyperParameters:
     # costs one extra block evaluation; restrict to the slow-mixing
     # lengthscale sites. e.g. ("ty_ls",). Site-sweep execution only.
     mh_dr_fields: Optional[tuple] = None
+    # Dynamic proposal parameters: the runner's per-move proposal state is a
+    # runtime ``inference.mh.ProposalParams`` input (per-move narrow drift +
+    # wide mixture arrays) instead of static trace constants — the SAME
+    # compiled program serves every per-site tuning (used by the on-chip
+    # kernel search, where each recompile costs ~15 min of remote service).
+    # Pass the arrays via ``run_mcmc(..., proposal_params=...)`` or
+    # ``run_mcmc_checkpointed(..., proposal_params=...)``. Mutually exclusive
+    # with adapt_proposals (the drifts slot carries one or the other) and
+    # with the blocked sweep (per-block, not per-move, drift semantics).
+    dynamic_proposals: bool = False
     # Interleaved MH/ES schedule: split each outer iteration into this many
     # Gibbs rounds of (n_mh_inner/rounds MH sweeps + n_es_inner/rounds ES
     # sweeps), refreshing the frozen ESS prior covariances at each round's ES
@@ -198,6 +208,16 @@ class HyperParameters:
                 raise ValueError(
                     "mh_dr_fields (delayed rejection) requires the plain "
                     "site sweep"
+                )
+        if self.dynamic_proposals:
+            if self.adapt_proposals:
+                raise ValueError(
+                    "dynamic_proposals and adapt_proposals are mutually "
+                    "exclusive (both occupy the runtime drifts slot)"
+                )
+            if self.mh_block_sweep:
+                raise ValueError(
+                    "dynamic_proposals requires the site or grouped sweep"
                 )
 
     def replace(self, **kw) -> "HyperParameters":

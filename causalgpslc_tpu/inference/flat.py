@@ -109,6 +109,9 @@ def make_flat_chunk_fn(spec: ModelSpec, priors: dict, data: ModelData, hp: Hyper
         base_sweep = mh_grouped_sweep
     else:
         base_sweep = mh_sweep
+    from .mh import resolve_move_proposals
+
+    move_cfg = None if hp.mh_block_sweep else resolve_move_proposals(spec, hp)
     n_moves = len(block_sites(spec)) if hp.mh_block_sweep else len(sweep_moves(spec))
     n_cov = (1 if use_u_ess else 0) + (1 if use_logit_ess else 0)
 
@@ -142,9 +145,10 @@ def make_flat_chunk_fn(spec: ModelSpec, priors: dict, data: ModelData, hp: Hyper
         )
 
     def mh_branch(c: _FlatCarry, key, drifts):
+        kw = {} if move_cfg is None else {"move_cfg": move_cfg}
         params, lps, a = base_sweep(
             key, spec, priors, data, c.params, c.lps,
-            drifts if hp.adapt_proposals else None, wide,
+            drifts if (hp.adapt_proposals or hp.dynamic_proposals) else None, wide, **kw,
         )
         return c._replace(params=params, lps=lps, acc=c.acc + a)
 

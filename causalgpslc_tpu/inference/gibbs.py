@@ -63,8 +63,16 @@ def _uses_logit_ess(spec: ModelSpec) -> bool:
     return spec.binary_t and (spec.has_u or spec.has_x)
 
 
+def _split_counts(total: int, rounds: int) -> list[int]:
+    """Per-round inner budgets; remainders go to the LATER rounds."""
+    base, rem = divmod(total, rounds)
+    return [base + (1 if r >= rounds - rem else 0) for r in range(rounds)]
+
+
 def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
     """Build the jittable single-chain outer step ``(params, data, key) -> (params, stats)``."""
+    from .mh import resolve_move_proposals
+
     use_blocked = hp.mh_block_sweep
     wide = (hp.mh_wide_drift, hp.mh_wide_prob) if hp.mh_wide_drift else None
     if use_blocked:
@@ -73,10 +81,21 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
         base_sweep = mh_grouped_sweep
     else:
         base_sweep = mh_sweep
-    sweep_fn = partial(base_sweep, wide=wide)
+    move_cfg = None if use_blocked else resolve_move_proposals(spec, hp)
+    if move_cfg is None:
+        sweep_fn = partial(base_sweep, wide=wide)
+    else:
+        sweep_fn = partial(base_sweep, wide=wide, move_cfg=move_cfg)
     n_moves = len(block_sites(spec)) if use_blocked else len(sweep_moves(spec))
     n_mh_inner = hp.n_mh_inner if (_has_mh_inner_loop(spec) and hp.n_mh_inner) else 1
     n_es_inner = hp.n_es_inner if hp.n_es_inner else 0
+    # Interleaved Gibbs rounds (round 5): each outer iteration runs
+    # ``gibbs_rounds`` segments of (MH sweeps + ES sweeps); the per-sweep
+    # keys are fold_in(k_mh, global_sweep_index) in BOTH schedules, so
+    # rounds=1 traces the exact round-4 program.
+    rounds = hp.gibbs_rounds if (n_es_inner > 0 and _has_mh_inner_loop(spec)) else 1
+    mh_counts = _split_counts(n_mh_inner, rounds)
+    es_counts = _split_counts(n_es_inner, rounds) if n_es_inner else [0] * rounds
     # None = platform default: unrolled straight-line code on TPU (runtime-
     # bound: While iterations pay a dispatch quantum), rolled fori_loop on
     # CPU (compile-bound: the unrolled program duplicates the graph ~15x).
@@ -92,40 +111,40 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
         # ---- Algorithm 2: hyperparameter MH sweeps -----------------------
         lps = compute_block_lps(spec, data, params)
 
-        def mh_body(i, carry):
-            params, lps, acc = carry
-            params, lps, a = sweep_fn(
-                jax.random.fold_in(k_mh, i), spec, priors, data, params, lps, drifts
-            )
-            return params, lps, acc + a
+        def mh_segment(params, lps, i0, count):
+            def mh_body(i, carry):
+                params, lps, acc = carry
+                params, lps, a = sweep_fn(
+                    jax.random.fold_in(k_mh, i), spec, priors, data, params, lps, drifts
+                )
+                return params, lps, acc + a
 
-        carry = (params, lps, jnp.zeros((n_moves,), dtype=dtype))
-        if inner_unroll and n_mh_inner <= 16:
-            # statically unrolled: on the axon backend every XLA While/fori
-            # ITERATION pays a fixed dispatch quantum (BASELINE.md), while
-            # straight-line chains are free — same RNG stream either way.
-            for i in range(n_mh_inner):
-                carry = mh_body(i, carry)
-        else:
-            # rolled: body traced once — ~4-5x faster cold compiles at a
-            # per-iteration quantum cost (hp.inner_unroll=False).
-            carry = jax.lax.fori_loop(0, n_mh_inner, mh_body, carry)
-        params, lps, n_acc = carry
-        move_accepts = n_acc / n_mh_inner
-        accept_rate = jnp.mean(move_accepts)
+            carry = (params, lps, jnp.zeros((n_moves,), dtype=dtype))
+            if inner_unroll and count <= 16:
+                # statically unrolled: on the axon backend every XLA While/fori
+                # ITERATION pays a fixed dispatch quantum (BASELINE.md), while
+                # straight-line chains are free — same RNG stream either way.
+                for i in range(i0, i0 + count):
+                    carry = mh_body(i, carry)
+            else:
+                # rolled: body traced once — ~4-5x faster cold compiles at a
+                # per-iteration quantum cost (hp.inner_unroll=False).
+                carry = jax.lax.fori_loop(i0, i0 + count, mh_body, carry)
+            return carry
 
-        # ---- Algorithm 3: elliptical slice over U columns / logitT -------
-        ess_iters = jnp.zeros((), dtype=jnp.int32)
         use_u_ess = spec.has_u and n_es_inner > 0
         use_logit_ess = _uses_logit_ess(spec) and n_es_inner > 0
 
-        if use_u_ess or use_logit_ess:
-            # ESS prior covariances frozen at current params (reference
-            # recomputes them once per outer iteration before the ES loop);
-            # all needed priors share one stacked factorization, routed
-            # through the quantum-free blocked path on TPU f32 (the dense
-            # factor feeds the nu-draws; the block factors make the per-move
-            # prior logpdf refreshes solve-free straight-line matmuls).
+        def es_segment(params, lps, j0, count):
+            """ES sweeps ``j in [j0, j0+count)`` with prior covariances frozen
+            at the CURRENT params (Algorithm 3; the reference freezes once per
+            outer iteration — ``src/inference.jl:48``, ``:216-227`` — which is
+            the rounds=1 case). Returns (params, iters, lps_total)."""
+            # ESS prior covariances frozen at current params; all needed
+            # priors share one stacked factorization, routed through the
+            # quantum-free blocked path on TPU f32 (the dense factor feeds
+            # the nu-draws; the block factors make the per-move prior logpdf
+            # refreshes solve-free straight-line matmuls).
             ess_covs = []
             if use_u_ess:
                 ess_covs.append(u_cov(data, params))
@@ -205,15 +224,15 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
                         ess_iters = ess_iters + it
                 return params, x_sum, t_lp, y_lp, bern_ll, ess_iters
 
-            carry = (params, x_sum0, lps.t, lps.y, bern_ll0, ess_iters)
-            if inner_unroll and n_es_inner <= 16:
-                for j in range(n_es_inner):
+            carry = (params, x_sum0, lps.t, lps.y, bern_ll0, jnp.zeros((), dtype=jnp.int32))
+            if inner_unroll and count <= 16:
+                for j in range(j0, j0 + count):
                     carry = es_sweep(j, *carry)
             else:
                 carry = jax.lax.fori_loop(
-                    0, n_es_inner, lambda j, c: es_sweep(j, *c), carry
+                    j0, j0 + count, lambda j, c: es_sweep(j, *c), carry
                 )
-            params, x_sum, t_lp, y_lp, bern_ll, ess_iters = carry
+            params, x_sum, t_lp, y_lp, bern_ll, iters = carry
 
             lps_total = x_sum + t_lp + y_lp + (bern_ll if spec.binary_t else 0.0)
             if lps.u is not None:
@@ -224,7 +243,31 @@ def make_outer_step(spec: ModelSpec, priors: dict, hp: HyperParameters):
                     lps_total = lps_total + jnp.sum(
                         jax.vmap(lambda c: mvn_logpdf_chol(c, u_chol))(params.u.T)
                     )
-        else:
+            return params, iters, lps_total
+
+        # ---- the Gibbs rounds (rounds == 1 traces the round-4 program) ---
+        n_acc = None
+        ess_iters = None
+        lps_total = None
+        mh_off = es_off = 0
+        for r in range(rounds):
+            if r > 0 and es_counts[r - 1] > 0 and (use_u_ess or use_logit_ess):
+                # ES moved U/logitT: refresh every block log-lik for the next
+                # MH segment (one stacked evaluation)
+                lps = compute_block_lps(spec, data, params)
+            params, lps, acc_r = mh_segment(params, lps, mh_off, mh_counts[r])
+            n_acc = acc_r if n_acc is None else n_acc + acc_r
+            mh_off += mh_counts[r]
+            if (use_u_ess or use_logit_ess) and es_counts[r] > 0:
+                params, it_r, lps_total = es_segment(params, lps, es_off, es_counts[r])
+                ess_iters = it_r if ess_iters is None else ess_iters + it_r
+                es_off += es_counts[r]
+
+        move_accepts = n_acc / n_mh_inner
+        accept_rate = jnp.mean(move_accepts)
+        if ess_iters is None:
+            ess_iters = jnp.zeros((), dtype=jnp.int32)
+        if lps_total is None:
             lps_total = lps.t + lps.y
             if lps.x is not None:
                 lps_total = lps_total + jnp.sum(lps.x)
@@ -250,14 +293,23 @@ def make_chain_runner(
     data: ModelData,
     hp: HyperParameters,
     init_params: Optional[GPSLCParams] = None,
+    proposal_params=None,
 ):
     """Build ``one_chain(chain_key) -> (samples, stats, final)`` for a single
     chain's full run. Shared by the on-chip ``vmap`` path (:func:`run_mcmc`)
     and the mesh-sharded path (``parallel.mesh.run_mcmc_sharded``), so both
-    produce bit-identical per-chain results from the same chain keys."""
+    produce bit-identical per-chain results from the same chain keys.
+
+    ``proposal_params``: a :class:`~causalgpslc_tpu.inference.mh.
+    ProposalParams` of runtime per-move proposal arrays (requires
+    ``hp.dynamic_proposals``)."""
     outer_step = make_outer_step(spec, priors, hp)
     dtype = data.y.dtype
     n_moves = len(block_sites(spec)) if hp.mh_block_sweep else len(sweep_moves(spec))
+    if hp.dynamic_proposals and proposal_params is None:
+        from .mh import proposal_params_for
+
+        proposal_params = proposal_params_for(spec, priors, hp)
 
     def one_chain(chain_key):
         k_init, k_run = jax.random.split(chain_key)
@@ -270,9 +322,13 @@ def make_chain_runner(
 
         def body(carry, step_key):
             params, drifts, it = carry
-            params, stats = outer_step(
-                params, data, step_key, drifts if hp.adapt_proposals else None
-            )
+            if hp.dynamic_proposals:
+                runtime_drifts = proposal_params
+            elif hp.adapt_proposals:
+                runtime_drifts = drifts
+            else:
+                runtime_drifts = None
+            params, stats = outer_step(params, data, step_key, runtime_drifts)
             if hp.adapt_proposals:
                 # Robbins-Monro on log proposal variance toward the target
                 # acceptance rate, frozen after burn-in (diminishing/frozen
@@ -300,6 +356,7 @@ def run_mcmc(
     data: ModelData,
     hp: HyperParameters,
     init_params: Optional[GPSLCParams] = None,
+    proposal_params=None,
 ):
     """Run ``hp.n_chains`` independent chains for ``hp.n_outer`` iterations.
 
@@ -309,7 +366,7 @@ def run_mcmc(
     chain-batched. All-device computation; jit-compiled once per
     (spec, shapes) combination.
     """
-    one_chain = make_chain_runner(spec, priors, data, hp, init_params)
+    one_chain = make_chain_runner(spec, priors, data, hp, init_params, proposal_params)
     chain_keys = jax.random.split(key, hp.n_chains)
     return jax.vmap(one_chain)(chain_keys)
 

@@ -18,7 +18,7 @@ The sweep order per variant matches the reference exactly (see
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,8 @@ from .proposal import propose, proposal_logpdf
 __all__ = [
     "sweep_moves",
     "resolve_move_proposals",
+    "ProposalParams",
+    "proposal_params_for",
     "mh_move",
     "mh_move_dr",
     "mh_sweep",
@@ -50,6 +52,50 @@ __all__ = [
 ]
 
 Move = Tuple[str, Optional[tuple]]
+
+
+class ProposalParams(NamedTuple):
+    """Runtime (traced) per-move proposal parameters — the dynamic analog of
+    ``HyperParameters.mh_site_proposals``. Each leaf is an ``(n_moves,)``
+    array; passing a different ProposalParams to the SAME compiled program
+    re-tunes every move's narrow drift variance and wide-jump mixture with
+    no recompile (the round-5 on-chip kernel search rides this; remote
+    compiles cost ~15 min each, runs ~30 s). ``wide_prob = 0`` disables a
+    move's wide component exactly (the mixture density degrades to the
+    narrow component; RNG stream unchanged). For delayed-rejection moves
+    (static ``mh_dr_fields``), ``wide_var`` is the stage-1 variance and
+    ``wide_prob`` is ignored."""
+
+    narrow: jax.Array
+    wide_var: jax.Array
+    wide_prob: jax.Array
+
+
+def proposal_params_for(spec: ModelSpec, priors: dict, hp) -> ProposalParams:
+    """The ProposalParams restating hp's static configuration (a convenient
+    starting point for runtime tuning)."""
+    cfg = resolve_move_proposals(spec, hp)
+    moves = sweep_moves(spec)
+    n = len(moves)
+    narrow = [priors["drift"]] * n
+    wv, wp = [1.0] * n, [0.0] * n
+    for i in range(n):
+        if cfg is not None:
+            drift, wide, _dr = cfg[i]
+        else:
+            drift = None
+            wide = (hp.mh_wide_drift, hp.mh_wide_prob) if hp.mh_wide_drift else None
+        if drift is not None:
+            narrow[i] = float(drift)
+        if wide is not None:
+            wv[i], wp[i] = float(wide[0]), float(wide[1])
+    import numpy as _np
+
+    return ProposalParams(
+        narrow=jnp.asarray(_np.asarray(narrow)),
+        wide_var=jnp.asarray(_np.asarray(wv)),
+        wide_prob=jnp.asarray(_np.asarray(wp)),
+    )
 
 # Per-move proposal configuration (round 5): (drift, wide, dr) where drift
 # is a static narrow variance (None -> priors["drift"]), wide the
@@ -200,6 +246,113 @@ def mh_move(
     return out_params, out_lps, accept
 
 
+def _log1mexp(la: jax.Array) -> jax.Array:
+    """log(1 - exp(la)) for la <= 0 (la = a log acceptance probability).
+
+    la == 0 maps to -inf (the DR numerator/denominator term for a stage-1
+    move that always accepts; the stage-2 branch is then dead anyway).
+    """
+    la = jnp.minimum(la, 0.0)
+    return jnp.where(
+        la < -0.693, jnp.log1p(-jnp.exp(la)), jnp.log(-jnp.expm1(la))
+    )
+
+
+def mh_move_dr(
+    key: jax.Array,
+    spec: ModelSpec,
+    priors: dict,
+    data: ModelData,
+    params: GPSLCParams,
+    lps: BlockLps,
+    field: str,
+    idx: Optional[tuple],
+    drift,
+    wide_var: float,
+):
+    """Two-stage delayed-rejection move (Tierney & Mira 1999): a bold wide
+    jump first, and on rejection a narrow drift move from the CURRENT value
+    with the exact DR correction, so the kernel stays invariant for the
+    target posterior.
+
+    Stage 1 proposes ``y1 ~ q1(.|x)`` — the moment-matched InvGamma at the
+    WIDE variance (the plateau-traversal component). Stage 2 proposes
+    ``y2 ~ q2(.|x)`` at the narrow ``drift`` variance, accepted with
+
+        a2 = [pi(y2) q1(y1|y2) q2(x|y2) (1 - a1(y2,y1))]
+           / [pi(x)  q1(y1|x)  q2(y2|x) (1 - a1(x,y1))]
+
+    which requires no density evaluations beyond the two proposals'
+    (pi(y1) is reused from stage 1). Always two block evaluations per move
+    under jit — restrict DR to the slow-mixing sites.
+    """
+    if drift is None:
+        drift = priors["drift"]
+    stem = FIELD_PRIOR_NAMES[field]
+    prior_shape, prior_scale = priors[stem + "Shape"], priors[stem + "Scale"]
+
+    cur_arr = getattr(params, field)
+    cur = cur_arr[idx] if idx is not None else cur_arr
+
+    k1, k2, ka1, ka2 = jax.random.split(key, 4)
+    block = field_block(field)
+    xk = idx[0] if block == "x" and idx is not None else None
+    cur_lp = lps.x[xk] if block == "x" else getattr(lps, block)
+
+    def _with(val):
+        arr = cur_arr.at[idx].set(val) if idx is not None else val
+        return params._replace(**{field: arr})
+
+    def _pi(val, block_lp):
+        return block_lp + inv_gamma_logpdf(val, prior_shape, prior_scale)
+
+    # ---- stage 1: wide jump ------------------------------------------------
+    y1 = propose(k1, cur, wide_var)
+    lp_y1 = _block_lp(spec, data, _with(y1), block, xk)
+    pi_x, pi_y1 = _pi(cur, cur_lp), _pi(y1, lp_y1)
+    la1 = (pi_y1 - pi_x) + (
+        proposal_logpdf(cur, y1, wide_var) - proposal_logpdf(y1, cur, wide_var)
+    )
+    acc1 = (jnp.log(jax.random.uniform(ka1, dtype=cur.dtype)) < la1) & jnp.isfinite(lp_y1)
+
+    # ---- stage 2: narrow recovery move, exact DR ratio ---------------------
+    y2 = propose(k2, cur, drift)
+    lp_y2 = _block_lp(spec, data, _with(y2), block, xk)
+    pi_y2 = _pi(y2, lp_y2)
+    # a1 as if the chain stood at y2 and proposed the same y1
+    la1_rev = (pi_y1 - pi_y2) + (
+        proposal_logpdf(y2, y1, wide_var) - proposal_logpdf(y1, y2, wide_var)
+    )
+    log_num = (
+        pi_y2
+        + proposal_logpdf(y1, y2, wide_var)
+        + proposal_logpdf(cur, y2, drift)
+        + _log1mexp(la1_rev)
+    )
+    log_den = (
+        pi_x
+        + proposal_logpdf(y1, cur, wide_var)
+        + proposal_logpdf(y2, cur, drift)
+        + _log1mexp(la1)
+    )
+    la2 = log_num - log_den
+    acc2 = (
+        (~acc1)
+        & (jnp.log(jax.random.uniform(ka2, dtype=cur.dtype)) < la2)
+        & jnp.isfinite(lp_y2)
+    )
+
+    out_val = jnp.where(acc1, y1, jnp.where(acc2, y2, cur))
+    out_lp = jnp.where(acc1, lp_y1, jnp.where(acc2, lp_y2, cur_lp))
+    out_arr = cur_arr.at[idx].set(out_val) if idx is not None else out_val
+    out_params = params._replace(**{field: out_arr})
+    if block == "x":
+        out_lps = lps._replace(x=lps.x.at[xk].set(out_lp))
+    else:
+        out_lps = lps._replace(**{block: out_lp})
+    return out_params, out_lps, acc1 | acc2
+
+
 def mh_sweep(
     key: jax.Array,
     spec: ModelSpec,
@@ -209,22 +362,43 @@ def mh_sweep(
     lps: BlockLps,
     drifts=None,
     wide=None,
+    move_cfg: Optional[list] = None,
 ):
     """One full MH sweep over every hyperparameter site (reference order).
 
     Returns (params, lps, accepts) with ``accepts`` a per-move 0/1 vector.
     ``drifts`` optionally overrides the global proposal variance per move
     (an (n_moves,) vector — the adaptive-proposal path); ``None`` uses the
-    reference's fixed ``priors["drift"]``. The move list is static per spec,
-    so XLA sees a fixed unrolled sequence of block evaluations.
+    reference's fixed ``priors["drift"]``. ``move_cfg`` (round 5) carries
+    static per-move (drift, wide, dr) overrides from
+    :func:`resolve_move_proposals`. The move list is static per spec, so XLA
+    sees a fixed unrolled sequence of block evaluations.
     """
     moves = sweep_moves(spec)
+    dynamic = isinstance(drifts, ProposalParams)
     accepts = []
     for i, (field, idx) in enumerate(moves):
-        drift = None if drifts is None else drifts[i]
-        params, lps, acc = mh_move(
-            jax.random.fold_in(key, i), spec, priors, data, params, lps, field, idx, drift, wide
+        cfg_drift, cfg_wide, dr = (
+            move_cfg[i] if move_cfg is not None else (None, wide, False)
         )
+        if dynamic:
+            drift = drifts.narrow[i]
+            wide_i = (drifts.wide_var[i], drifts.wide_prob[i])
+            wide_var_dr = drifts.wide_var[i]
+        else:
+            drift = cfg_drift if drifts is None else drifts[i]
+            wide_i = cfg_wide
+            wide_var_dr = cfg_wide[0] if cfg_wide is not None else None
+        if dr:
+            params, lps, acc = mh_move_dr(
+                jax.random.fold_in(key, i), spec, priors, data, params, lps,
+                field, idx, drift, wide_var_dr,
+            )
+        else:
+            params, lps, acc = mh_move(
+                jax.random.fold_in(key, i), spec, priors, data, params, lps,
+                field, idx, drift, wide_i,
+            )
         accepts.append(acc)
     return params, lps, jnp.stack(accepts).astype(data.y.dtype)
 
@@ -447,10 +621,13 @@ def mh_grouped_sweep(
     lps: BlockLps,
     drifts=None,
     wide=None,
+    move_cfg: Optional[list] = None,
 ):
     """One full sweep, bit-identical to :func:`mh_sweep` (same RNG streams,
     same chain) with disjoint-block moves evaluated per round in one stacked
     factorization. Returns (params, lps, accepts) shaped like ``mh_sweep``.
+    ``move_cfg`` carries per-move (drift, wide) overrides (DR moves are not
+    supported in grouped execution; HyperParameters validates that).
     """
     from ..models.blocks import t_cov, u_cov, x_cov_k, y_cov
 
@@ -458,15 +635,33 @@ def mh_grouped_sweep(
     n_moves = len(sweep_moves(spec))
     accepts: list = [None] * n_moves
 
+    dynamic = isinstance(drifts, ProposalParams)
+
+    def _cfg(i):
+        if dynamic:
+            return drifts.narrow[i], (drifts.wide_var[i], drifts.wide_prob[i])
+        if move_cfg is None:
+            return None, wide
+        cfg_drift, cfg_wide, _dr = move_cfg[i]
+        return cfg_drift, cfg_wide
+
     for rnd in grouped_rounds(spec):
         covs, targets, metas = [], [], []
         pos = 0
         for (i, field, idx) in rnd:
-            drift = (priors["drift"] if drifts is None else drifts[i])
+            cfg_drift, wide_i = _cfg(i)
+            if dynamic:
+                drift = cfg_drift
+            elif drifts is not None:
+                drift = drifts[i]
+            elif cfg_drift is not None:
+                drift = cfg_drift
+            else:
+                drift = priors["drift"]
             k_prop, k_acc = jax.random.split(jax.random.fold_in(key, i))
             cur_arr = getattr(params, field)
             cur = cur_arr[idx] if idx is not None else cur_arr
-            prop = propose(k_prop, cur, drift, wide)
+            prop = propose(k_prop, cur, drift, wide_i)
             new_arr = cur_arr.at[idx].set(prop) if idx is not None else prop
             p_prop = params._replace(**{field: new_arr})
 
@@ -493,13 +688,13 @@ def mh_grouped_sweep(
                 targets.append(data.x[:, xk][None])
                 seg = pos
                 pos += 1
-            metas.append((i, field, idx, cur, prop, k_acc, seg, block, xk, drift))
+            metas.append((i, field, idx, cur, prop, k_acc, seg, block, xk, drift, wide_i))
 
         lp_each = stacked_mvn_logliks(
             jnp.concatenate(covs, axis=0), jnp.concatenate(targets, axis=0)
         )
 
-        for (i, field, idx, cur, prop, k_acc, seg, block, xk, drift) in metas:
+        for (i, field, idx, cur, prop, k_acc, seg, block, xk, drift, wide_i) in metas:
             new_lp = jnp.sum(lp_each[seg]) if isinstance(seg, slice) else lp_each[seg]
             cur_lp = lps.x[xk] if block == "x" else getattr(lps, block)
             stem = FIELD_PRIOR_NAMES[field]
@@ -507,7 +702,7 @@ def mh_grouped_sweep(
             log_alpha = (
                 (new_lp - cur_lp)
                 + (inv_gamma_logpdf(prop, pr_s, pr_c) - inv_gamma_logpdf(cur, pr_s, pr_c))
-                + (proposal_logpdf(cur, prop, drift, wide) - proposal_logpdf(prop, cur, drift, wide))
+                + (proposal_logpdf(cur, prop, drift, wide_i) - proposal_logpdf(prop, cur, drift, wide_i))
             )
             accept = (jnp.log(jax.random.uniform(k_acc, dtype=cur.dtype)) < log_alpha) & jnp.isfinite(new_lp)
             out_val = jnp.where(accept, prop, cur)

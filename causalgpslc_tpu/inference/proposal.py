@@ -57,6 +57,16 @@ def proposal_logpdf(x: jax.Array, center: jax.Array, variance, wide: Wide = None
     v_wide, p_wide = wide
     shape_w, scale_w = drift_params(center, v_wide)
     lp_w = inv_gamma_logpdf(x, shape_w, scale_w)
-    import math
 
-    return jnp.logaddexp(math.log1p(-p_wide) + lp, math.log(p_wide) + lp_w)
+    if isinstance(p_wide, (int, float)):
+        import math
+
+        # boundary probabilities degrade to the single-component densities
+        w_narrow = math.log1p(-p_wide) if p_wide < 1.0 else float("-inf")
+        w_wide = math.log(p_wide) if p_wide > 0.0 else float("-inf")
+    else:
+        # traced mixture probability (dynamic proposal parameters): jnp.log
+        # maps the p=0 / p=1 boundaries to -inf, matching the static path
+        w_narrow = jnp.log1p(-p_wide)
+        w_wide = jnp.log(p_wide)
+    return jnp.logaddexp(w_narrow + lp, w_wide + lp_w)

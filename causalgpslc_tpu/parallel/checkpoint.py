@@ -143,6 +143,7 @@ def run_mcmc_checkpointed(
     progress_callback=None,
     scan_unroll: int = 1,
     mesh=None,
+    proposal_params=None,
 ):
     """Chunked chain-batched MCMC with periodic state snapshots.
 
@@ -190,7 +191,10 @@ def run_mcmc_checkpointed(
         @partial(jax.jit, static_argnames=("n_steps",))
         def run_chunk(params, chunk_key, drifts, n_steps):
             def body(p, k):
-                p, stats = outer_step(p, data, k, drifts if hp.adapt_proposals else None)
+                p, stats = outer_step(
+                    p, data, k,
+                    drifts if (hp.adapt_proposals or hp.dynamic_proposals) else None,
+                )
                 return p, (p, stats)
 
             # scan_unroll > 1 executes that many outer iterations per XLA While
@@ -229,7 +233,28 @@ def run_mcmc_checkpointed(
     n_moves = (
         len(block_sites(spec)) if hp.mh_block_sweep else len(_sweep_moves(spec))
     )
-    drifts = jax.numpy.full((n_moves,), priors["drift"], dtype=dtype)
+    if hp.dynamic_proposals:
+        # runtime per-move proposal arrays ride the drifts slot: one compiled
+        # chunk program serves every per-site tuning (inference/mh.py
+        # ProposalParams; the round-5 on-chip kernel search)
+        from ..inference.mh import proposal_params_for
+
+        drifts = (
+            proposal_params
+            if proposal_params is not None
+            else proposal_params_for(spec, priors, hp)
+        )
+        drifts = jax.tree.map(lambda a: jax.numpy.asarray(a, dtype=dtype), drifts)
+    elif proposal_params is not None:
+        raise ValueError("proposal_params requires hp.dynamic_proposals=True")
+    if hp.dynamic_proposals and checkpoint_path is not None:
+        raise ValueError(
+            "dynamic_proposals does not support snapshots yet (the drifts "
+            "slot holds a ProposalParams pytree, not a flat array); run with "
+            "checkpoint_path=None"
+        )
+    else:
+        drifts = jax.numpy.full((n_moves,), priors["drift"], dtype=dtype)
 
     if checkpoint_path is not None and jax.process_count() > 1:
         # each host snapshots (and resumes) its own chain rows; resume
