@@ -32,6 +32,7 @@ import numpy as np
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 OUT = pathlib.Path(__file__).resolve().parent / "ess_study_results.jsonl"
+sys.path.insert(0, str(ROOT))
 
 N = 500
 N_CHAINS = 16

@@ -610,3 +610,75 @@ def test_checkpointed_runner_rejects_chains_mesh(tmp_path):
         run_mcmc_large_n_checkpointed(
             jax.random.key(0), t, y, counts, hp=hp, mesh=mesh
         )
+
+
+@pytest.mark.parametrize("nx", [None, 2])
+def test_streamed_conditioning_matches_one_shot(nx):
+    """The column-streamed conditioning body (col_chunk set; VERDICT r4
+    item 2 — fits N=32,768 on one chip) must reproduce the one-shot body's
+    ITE/SATE moments: identical math, only the W = L^-1 G' columns stream
+    through (n_local, col_chunk) chunks instead of materializing ~5 full
+    (n_local, n_padded) temporaries."""
+    from causalgpslc_tpu import estimation
+    from causalgpslc_tpu.models.state import init_from_prior
+    from causalgpslc_tpu.parallel.large_n import conditional_ite_large_n
+
+    n = 52
+    rng = np.random.default_rng(10)
+    counts = [13, 7, 20, 12]
+    x = None if nx is None else rng.normal(size=(n, nx))
+    t = rng.normal(size=n)
+    y = 0.7 * t + rng.normal(size=n) * 0.4
+    spec = ModelSpec(n=n, n_u=1, n_x=nx, binary_t=False)
+    data = ModelData(
+        t=jnp.asarray(t), y=jnp.asarray(y),
+        x=None if nx is None else jnp.asarray(x),
+        sigma_u=jnp.asarray(generate_sigma_u(counts)),
+    )
+    pp = default_prior_parameters()
+    params = init_from_prior(jax.random.PRNGKey(3), spec, pp, data)
+
+    kw = dict(x=x, mesh=n_mesh(8), block=8, prediction_covariance_noise=1e-10)
+    one_shot = conditional_ite_large_n(params, t, y, 0.6, col_chunk=None, **kw)
+    streamed = conditional_ite_large_n(params, t, y, 0.6, col_chunk=16, **kw)
+    for a, b, name in zip(one_shot, streamed, ("mean", "var", "sate_m", "sate_v")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-9, err_msg=name
+        )
+    # and against the dense engine directly
+    mean_d, cov_d = estimation.conditional_ite(spec, data, params, 0.6)
+    np.testing.assert_allclose(
+        np.asarray(streamed[0]), np.asarray(mean_d), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_streamed_conditioning_in_distributions_path():
+    """ite_distributions_large_n with explicit col_chunk (per-sample loop)
+    matches the batched one-shot path on the same samples."""
+    from causalgpslc_tpu.models.state import init_from_prior
+    from causalgpslc_tpu.parallel.large_n import ite_distributions_large_n
+
+    n = 32
+    rng = np.random.default_rng(4)
+    t = rng.normal(size=n)
+    y = 0.5 * t + rng.normal(size=n) * 0.3
+    spec = ModelSpec(n=n, n_u=1, n_x=None, binary_t=False)
+    data = ModelData(
+        t=jnp.asarray(t), y=jnp.asarray(y), x=None,
+        sigma_u=jnp.asarray(generate_sigma_u([8, 8, 8, 8])),
+    )
+    pp = default_prior_parameters()
+    stack = jax.vmap(
+        lambda k: init_from_prior(k, spec, pp, data)
+    )(jax.random.split(jax.random.PRNGKey(7), 3))
+
+    base = ite_distributions_large_n(
+        stack, t, y, 0.6, mesh=n_mesh(8), block=4, sample_batch=3, col_chunk=None
+    )
+    streamed = ite_distributions_large_n(
+        stack, t, y, 0.6, mesh=n_mesh(8), block=4, sample_batch=1, col_chunk=8
+    )
+    for a, b, name in zip(base, streamed, ("means", "vars", "sate_m", "sate_v")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-9, err_msg=name
+        )
