@@ -117,13 +117,14 @@ def build(program: str):
 
     rng = np.random.default_rng(0)
     prepared = cg.prepare_data(make_synthetic(N, rng))
-    hp = cg.default_hyperparameters(
+    kw = dict(
         n_u=1, n_outer=N_OUTER, n_mh_inner=10, n_es_inner=5,
         n_burn_in=max(1, N_OUTER // 6), n_chains=N_CHAINS,
         inner_unroll=False, mh_wide_drift=100.0, mh_wide_prob=0.3,
         ess_spec_batch=1, dynamic_proposals=True,
-        **PROGRAMS[program],
     )
+    kw.update(PROGRAMS[program])
+    hp = cg.default_hyperparameters(**kw)
     pp = cg.default_prior_parameters()
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     spec, data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)

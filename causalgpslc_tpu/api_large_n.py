@@ -37,6 +37,7 @@ from .data import PreparedData, prepare_data
 from .hyperparameters import HyperParameters, default_hyperparameters, default_prior_parameters
 from .models.spec import GPSLCParams
 from .parallel.large_n import (
+    ite_distributions_grid_large_n,
     ite_distributions_large_n,
     ite_samples_marginal,
     n_mesh,
@@ -229,23 +230,31 @@ def predict_counterfactual_effects_large_n(
     (``predictCounterfactualEffects``, ``src/prediction.jl:23-36``).
 
     Returns ``(ite, do_t_range)`` with ``ite`` of shape
-    ``(fidelity + 1, n, S * n_samples_per_mixture)``. Each grid point runs
-    the sample-batched sharded conditioning program (compiled once, reused
-    across the whole grid): ceil(S/sample_batch) dispatches per point
-    instead of S. Individual draws carry marginal uncertainty only — see
+    ``(fidelity + 1, n, S * n_samples_per_mixture)``. The whole
+    (grid x posterior sample) product streams through ONE sample-batched
+    sharded program (``ite_distributions_grid_large_n``):
+    ceil((fidelity+1) * S / sample_batch) dispatches for the entire sweep.
+    Individual draws carry marginal uncertainty only — see
     :func:`sample_ite_large_n`."""
     lo = float(g.t.min()) if min_do_t is None else float(min_do_t)
     hi = float(g.t.max()) if max_do_t is None else float(max_do_t)
     grid = np.linspace(lo, hi, fidelity + 1)
-    out = []
-    for i, do_t in enumerate(grid):
-        mean_s, var_s, _, _ = _ite_moments(g, float(do_t), sample_batch)
-        out.append(
-            np.asarray(
-                ite_samples_marginal(
-                    jax.random.fold_in(jax.random.PRNGKey(seed), i),
-                    mean_s, var_s, n_samples_per_mixture,
-                )
+    # grid x sample pairs fold into ONE batched-program stream:
+    # ceil((fidelity+1) * S / sample_batch) dispatches total, vs the former
+    # host loop's (fidelity+1) * ceil(S / sample_batch) partially-full rounds
+    means_g, vars_g, _, _ = ite_distributions_grid_large_n(
+        g.retained_samples(), g.t, g.y, grid, x=g.x, mesh=g.mesh, block=g.block,
+        prediction_covariance_noise=g.hyperparams.prediction_covariance_noise,
+        pair_batch=sample_batch,
+    )
+    out = [
+        np.asarray(
+            ite_samples_marginal(
+                jax.random.fold_in(jax.random.PRNGKey(seed), i),
+                jnp.asarray(means_g[i]), jnp.asarray(vars_g[i]),
+                n_samples_per_mixture,
             )
         )
+        for i in range(len(grid))
+    ]
     return np.stack(out), grid
