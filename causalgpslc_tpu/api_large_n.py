@@ -17,9 +17,11 @@ Covariances are row-sharded over the ``"n"`` mesh axis throughout (MCMC:
 U prior uses the O(N) Sherman-Morrison forms, and the dense SigmaU is
 never built (``prepare_data(..., build_sigma_u=False)``).
 
-Only the with-confounder variants run here (an ``obj`` column is
-required): without latent confounders there is no SigmaU to shard around,
-and the NoU variants stay on the dense engine (see
+Both confounder families run here: with an ``obj`` column the full
+GP-SLC model samples latent U under the sharded SigmaU machinery; without
+one the NoU variants (``CausalGPSLCNoU*``, ``src/model.jl:92-130``) drop
+the U sites but keep the same row-sharded N x N treatment/outcome GPs —
+exactly as intractable for the dense engine at large N (see
 ``parallel/large_n.py``'s module docstring).
 """
 
@@ -67,7 +69,7 @@ class LargeNGPSLC:
     t: np.ndarray
     y: np.ndarray
     x: Optional[np.ndarray]
-    counts: list
+    counts: Optional[list]  # None => NoU variants (no object structure)
     binary_t: bool
     posterior_samples: GPSLCParams
     stats: object
@@ -97,8 +99,10 @@ def gpslc_large_n(
 ) -> LargeNGPSLC:
     """Run sharded posterior inference on a large dataset.
 
-    Column conventions follow the reference driver (``T``, ``Y``, required
-    ``obj``, everything else covariates). The N x N covariances never
+    Column conventions follow the reference driver (``T``, ``Y``, optional
+    ``obj``, everything else covariates); omitting ``obj`` selects the NoU
+    variants exactly as the reference constructors null out ``nU``
+    (``src/types.jl:278``). The N x N covariances never
     materialize on a single device; memory and FLOPs divide by the mesh
     size. ``block=None`` picks a panel width that keeps sentinel padding
     modest (256 at large N, smaller when N/devices is small)."""
@@ -112,12 +116,10 @@ def gpslc_large_n(
         if isinstance(data, PreparedData)
         else prepare_data(data, pp["sigmaUNoise"], pp["sigmaUCov"], build_sigma_u=False)
     )
-    if prepared.obj is None:
-        raise ValueError(
-            "gpslc_large_n requires object labels (an `obj` column): the "
-            "NoU variants have no N x N structure to shard — use gpslc()"
-        )
-    counts = object_counts(list(prepared.obj))
+    # no `obj` column => NoU variants (src/types.jl:278 nulls nU the same
+    # way); the T/Y GPs are still dense N x N and shard identically
+    has_obj = prepared.obj is not None
+    counts = object_counts(list(prepared.obj)) if has_obj else None
     mesh = mesh if mesh is not None else n_mesh()
     if block is None:
         block = _auto_block(prepared.n, mesh.devices.size)
@@ -129,7 +131,7 @@ def gpslc_large_n(
         counts,
         x=prepared.x,
         binary_t=prepared.binary_t,
-        n_u=hp.n_u or 1,
+        n_u=(hp.n_u or 1) if has_obj else 0,
         priors=pp,
         hp=hp,
         mesh=mesh,

@@ -46,9 +46,12 @@ treatment, with or without covariates —
   ``nu = L z`` via a local row matvec + one all_gather and scores the O(N)
   Bernoulli likelihood with no collectives at all.
 
-The NoU variants are not large-N material: without latent confounders the
-per-site densities are the same dense GPs at small n (the reference's
-NoU dispatches), so they stay on the dense engine.
+**NoU variants** (``n_u=0``, no ``obj`` column): the T- and Y-GPs are still
+dense N x N in the X/T features, so the sharded engine applies unchanged —
+it simply drops the U sites, the SigmaU prior and the U elliptical-slice
+phase (and, with no covariates either, the treatment block degenerates to
+the reference's identity prior, ``src/model_prior.jl:175-200``: binary
+``logitT`` keeps its ES phase against a standard-normal prior at O(N)).
 """
 
 from __future__ import annotations
@@ -317,11 +320,11 @@ def run_mcmc_large_n(
     key: jax.Array,
     t,
     y,
-    counts,
+    counts=None,
     *,
     x=None,
     binary_t: Optional[bool] = None,
-    n_u: int = 1,
+    n_u: Optional[int] = 1,
     priors: Optional[dict] = None,
     hp: Optional[HyperParameters] = None,
     mesh: Optional[Mesh] = None,
@@ -339,6 +342,14 @@ def run_mcmc_large_n(
       binary_t: treat T as binary (latent ``logitT`` + Bernoulli likelihood,
         Algorithm 3's ES over ``:logitT``, ``src/inference.jl:216-237``).
         ``None`` auto-detects from the values of ``t``.
+      n_u: latent confounder dimensionality; ``0`` or ``None`` selects the
+        NoU variants (``CausalGPSLCNoU*``, ``src/model.jl:92-130``) — no U
+        sites, no SigmaU prior, no U elliptical-slice phase; ``counts`` may
+        be ``None``. The T/Y GPs stay dense N x N in the X/T features and
+        shard exactly as the with-confounder path. With neither U nor X the
+        treatment prior is the identity (``src/model_prior.jl:175-200``):
+        continuous T contributes a data constant; binary T keeps an O(N)
+        collective-free ES phase for ``logitT`` against N(0, I).
       init_params: resume from this chain state instead of a prior draw
         (block log-likelihoods are recomputed exactly from it).
       step_keys: explicit per-outer-iteration PRNG keys — the chunked
@@ -371,8 +382,12 @@ def run_mcmc_large_n(
     n_padded = _padded_size(n, n_dev, block)
     n_pad = n_padded - n
     n_local = n_padded // n_dev
-    seg_ids = segment_ids_from_counts(counts)
-    counts_t = tuple(int(c) for c in counts)
+    n_u = int(n_u or 0)
+    has_u = n_u > 0
+    if has_u and counts is None:
+        raise ValueError("counts (object structure) is required when n_u > 0")
+    seg_ids = segment_ids_from_counts(counts) if has_u else None
+    counts_t = tuple(int(c) for c in counts) if has_u else ()
     drift = jnp.asarray(priors["drift"], dtype=dtype)
     eps = float(priors.get("sigmaUNoise", 1e-13))
     if dtype == jnp.float32 and eps < 1e-5:
@@ -396,9 +411,23 @@ def run_mcmc_large_n(
     n_mh_inner = hp.n_mh_inner or 1
     n_es_inner = hp.n_es_inner or 0
 
-    t_sites = ("ut_ls", "t_scale", "t_noise") + (("xt_ls",) if nx else ())
-    y_sites = ("uy_ls", "ty_ls", "y_scale", "y_noise") + (("xy_ls",) if nx else ())
-    n_mh_blocks = 3 + nx  # u-block, t-block, y-block, one per covariate column
+    # Without U the T-block exists only when covariates drive it; with
+    # neither U nor X the treatment prior is the identity and carries no
+    # hyperparameter sites at all (src/model_prior.jl:175-200).
+    has_t_gp = has_u or nx > 0
+    t_sites = (
+        (("ut_ls",) if has_u else ())
+        + (("t_scale", "t_noise") if has_t_gp else ())
+        + (("xt_ls",) if nx else ())
+    )
+    y_sites = (
+        (("uy_ls",) if has_u else ())
+        + ("ty_ls", "y_scale", "y_noise")
+        + (("xy_ls",) if nx else ())
+    )
+    nx_gp = nx if has_u else 0  # X-from-U GPs exist only with confounders
+    # u-block + t-block + y-block + one per covariate column (as present)
+    n_mh_blocks = int(has_u) + int(has_t_gp) + 1 + nx_gp
 
     def _gp_lp(feats_unpadded, target_p, scale, noise):
         return _gp_logpdf_shard(
@@ -412,19 +441,33 @@ def run_mcmc_large_n(
         # additive log-kernels over (U, X) == one pairwise pass over the
         # concatenated scaled features (generateRealTfromUX family,
         # src/model_likelihood.jl:25-80)
-        parts = [u / params.ut_ls]
+        parts = []
+        if has_u:
+            parts.append(u / params.ut_ls)
         if nx:
             parts.append(x_j / params.xt_ls)
         return jnp.concatenate(parts, axis=1)
 
+    def _std_normal_lp(target_unpadded):
+        # identity-covariance treatment prior (NoU NoCov variants,
+        # src/model_prior.jl:175-200): O(N), replicated, collective-free
+        return -0.5 * (
+            jnp.sum(target_unpadded * target_unpadded)
+            + n * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype=dtype))
+        )
+
     def lp_t(params, u, logit_t=None):
         # continuous: N(T; 0, tCov); binary: the GP factor N(logitT; 0, tCov)
+        if not has_t_gp:
+            return _std_normal_lp(logit_t if binary_t else t_j)
         target = t_p if not binary_t else _pad_vec(logit_t, n_pad)
         return _gp_lp(t_feats(params, u), target, params.t_scale, params.t_noise)
 
     def lp_y(params, u):
         # Y | U, X, T (generateYfromUXT, src/model_likelihood.jl:83-91)
-        parts = [t_j[:, None] / params.ty_ls, u / params.uy_ls]
+        parts = [t_j[:, None] / params.ty_ls]
+        if has_u:
+            parts.append(u / params.uy_ls)
         if nx:
             parts.append(x_j / params.xy_ls)
         return _gp_lp(jnp.concatenate(parts, axis=1), y_p, params.y_scale, params.y_noise)
@@ -436,11 +479,16 @@ def run_mcmc_large_n(
         )
 
     def lp_x_all(params, u):
-        if nx == 0:
+        # X-from-U GP columns; NoU variants have no X model (X ~ iid N(0, I)
+        # prior constant, src/model_prior.jl:175-181 — excluded from the
+        # tracked block lps like every data constant)
+        if nx_gp == 0:
             return jnp.zeros((0,), dtype=dtype)
         return jnp.stack([lp_x_k(params, u, k) for k in range(nx)])
 
     def lp_u(params, u):
+        if not has_u:
+            return jnp.zeros((), dtype=dtype)
         return jnp.sum(
             sigma_u_logpdf(u.T, seg_ids, counts_t, params.u_noise, eps=eps, cov=ucov)
         )
@@ -453,7 +501,10 @@ def run_mcmc_large_n(
     def _t_chol_loc(params, u):
         """Local row shard of chol(tCov) — the frozen per-outer-iteration
         logitT prior factor (the reference's logitTCov recompute,
-        src/inference.jl:216-227)."""
+        src/inference.jl:216-227). ``(None, None)`` for the identity prior
+        (NoU NoCov: no factorization exists to freeze)."""
+        if not has_t_gp:
+            return None, None
         jitter = _rel_jitter(params.t_scale, params.t_noise, dtype)
         feats_p = _pad_features(t_feats(params, u), n_pad)
         cov_loc = dist_rbf_cov_rows(
@@ -470,6 +521,8 @@ def run_mcmc_large_n(
         shard_map's varying-axes check rejects carries derived from
         all_gather). The sentinel-padded cov is block-diagonal so rows [:n]
         involve only the real block."""
+        if l_loc is None:  # identity prior: nu ~ N(0, I), no collectives
+            return jax.random.normal(nk, (n,), dtype=dtype)
         z = jax.random.normal(nk, (n_padded,), dtype=dtype)
         loc = jnp.matmul(l_loc, z, precision=jax.lax.Precision.HIGHEST)  # (Nl,)
         rows = local_rows(N_AXIS, n_local)
@@ -480,6 +533,8 @@ def run_mcmc_large_n(
         """GP factor of a new logitT under the FROZEN tCov factor — a panel
         forward solve, no new factorization (mirrors the dense engine's
         mvn_logpdf_b(lt_new, t_fac) refresh)."""
+        if l_loc is None:
+            return _std_normal_lp(logit_t)
         lt_p = _pad_vec(logit_t, n_pad)
         rows = local_rows(N_AXIS, n_local)
         quad, logdet = dist_forward_solve_quad(
@@ -498,21 +553,25 @@ def run_mcmc_large_n(
         # ---- Algorithm 2: blocked MH sweeps ------------------------------
         for i in range(n_mh_inner):
             ki = jax.random.fold_in(k_mh, i)
-            params, lpu, a0 = _mh_block(
-                jax.random.fold_in(ki, 0), params, ("u_noise",), lpu,
-                lambda p: lp_u(p, params.u), priors_j, drift,
-            )
-            params, lpt, a1 = _mh_block(
-                jax.random.fold_in(ki, 1), params, t_sites, lpt,
-                lambda p, params=params: lp_t(p, params.u, params.logit_t),
-                priors_j, drift,
-            )
+            if has_u:
+                params, lpu, a0 = _mh_block(
+                    jax.random.fold_in(ki, 0), params, ("u_noise",), lpu,
+                    lambda p: lp_u(p, params.u), priors_j, drift,
+                )
+                n_acc = n_acc + a0
+            if has_t_gp:
+                params, lpt, a1 = _mh_block(
+                    jax.random.fold_in(ki, 1), params, t_sites, lpt,
+                    lambda p, params=params: lp_t(p, params.u, params.logit_t),
+                    priors_j, drift,
+                )
+                n_acc = n_acc + a1
             params, lpy, a2 = _mh_block(
                 jax.random.fold_in(ki, 2), params, y_sites, lpy,
                 lambda p: lp_y(p, params.u), priors_j, drift,
             )
-            n_acc = n_acc + a0 + a1 + a2
-            for k in range(nx):
+            n_acc = n_acc + a2
+            for k in range(nx_gp):
                 params, lpk, ak = _mh_x_col(
                     jax.random.fold_in(ki, 3 + k), params, k, lpx[k],
                     lambda p, k=k, params=params: lp_x_k(p, params.u, k),
@@ -618,23 +677,27 @@ def run_mcmc_large_n(
             return inv_gamma_sample(kk, a, b)
 
         keys = jax.random.split(k_init, 14)
-        u_noise0 = ig(keys[1], "uNoise")
-        u0 = jax.vmap(
-            lambda kk: sigma_u_sample(kk, seg_ids, counts_t, u_noise0, eps=eps, cov=ucov, dtype=dtype)
-        )(jax.random.split(keys[0], n_u)).T
+        u_noise0 = ig(keys[1], "uNoise") if has_u else None
+        u0 = (
+            jax.vmap(
+                lambda kk: sigma_u_sample(kk, seg_ids, counts_t, u_noise0, eps=eps, cov=ucov, dtype=dtype)
+            )(jax.random.split(keys[0], n_u)).T
+            if has_u
+            else None
+        )
         params0 = GPSLCParams(
             u_noise=u_noise0,
-            t_noise=ig(keys[2], "tNoise"),
+            t_noise=ig(keys[2], "tNoise") if has_t_gp else None,
             y_noise=ig(keys[3], "yNoise"),
-            ut_ls=ig(keys[4], "utLS", (n_u,)),
-            uy_ls=ig(keys[5], "uyLS", (n_u,)),
+            ut_ls=ig(keys[4], "utLS", (n_u,)) if has_u else None,
+            uy_ls=ig(keys[5], "uyLS", (n_u,)) if has_u else None,
             ty_ls=ig(keys[6], "tyLS"),
-            t_scale=ig(keys[7], "tScale"),
+            t_scale=ig(keys[7], "tScale") if has_t_gp else None,
             y_scale=ig(keys[9], "yScale"),
-            u=jnp.zeros((n, n_u), dtype=dtype),
-            x_noise=ig(keys[10], "xNoise", (nx,)) if nx else None,
-            x_scale=ig(keys[11], "xScale", (nx,)) if nx else None,
-            ux_ls=ig(keys[12], "uxLS", (nx, n_u)) if nx else None,
+            u=jnp.zeros((n, n_u), dtype=dtype) if has_u else None,
+            x_noise=ig(keys[10], "xNoise", (nx,)) if nx_gp else None,
+            x_scale=ig(keys[11], "xScale", (nx,)) if nx_gp else None,
+            ux_ls=ig(keys[12], "uxLS", (nx, n_u)) if nx_gp else None,
             xt_ls=ig(keys[13], "xtLS", (nx,)) if nx else None,
             xy_ls=ig(keys[8], "xyLS", (nx,)) if nx else None,
             logit_t=jnp.zeros((n,), dtype=dtype) if binary_t else None,

@@ -454,11 +454,112 @@ def test_gpslc_large_n_end_to_end(data_dir):
     np.testing.assert_allclose(np.asarray(var_s), 0.0, atol=1e-8)
 
 
-def test_gpslc_large_n_requires_obj(data_dir):
+@pytest.mark.parametrize("binary_t", [False, True])
+def test_run_mcmc_large_n_nou_matches_dense(binary_t):
+    """NoU variants (n_u=0): the sharded engine drops the U sites, the
+    SigmaU prior and the U elliptical-slice phase, but the T/Y GPs stay
+    dense N x N in the X/T features; the tracked log-joint must equal the
+    dense engine's block densities at the final state
+    (``CausalGPSLCNoU{Real,Binary}T``, src/model.jl:92-130)."""
+    n, nx = 52, 2
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(n, nx))
+    t_lat = 0.8 * x[:, 0] + rng.normal(size=n) * 0.5
+    t = (t_lat > 0).astype(float) if binary_t else t_lat
+    y = 0.7 * t + 0.4 * x[:, 1] + rng.normal(size=n) * 0.3
+    hp = default_hyperparameters().replace(
+        n_outer=3, n_mh_inner=2, n_es_inner=2, n_chains=1, n_burn_in=1
+    )
+    samples, stats, final = run_mcmc_large_n(
+        jax.random.key(7), t, y, None, x=x, binary_t=binary_t,
+        n_u=0, hp=hp, mesh=n_mesh(8), block=8,
+    )
+    samples, stats, final = jax.tree.map(np.asarray, (samples, stats, final))
+
+    # absent blocks stay absent (no U sites, no X-from-U GPs)
+    for f in ("u", "u_noise", "ut_ls", "uy_ls", "ux_ls", "x_noise", "x_scale"):
+        assert getattr(final, f) is None, f
+    assert samples.ty_ls.shape == (3,)
+    assert samples.xt_ls.shape == (3, nx)
+    hyper_traces = np.stack(
+        [samples.ty_ls, samples.t_noise, samples.y_noise, samples.t_scale], axis=1
+    )
+    assert any(len(np.unique(hyper_traces[:, j])) > 1 for j in range(hyper_traces.shape[1]))
+    if binary_t:
+        assert len(np.unique(samples.logit_t[:, 0])) > 1  # logitT ESS moved
+    assert np.all(np.isfinite(stats.log_joint))
+
+    from causalgpslc_tpu.models import blocks
+
+    spec = ModelSpec(n=n, n_u=None, n_x=nx, binary_t=binary_t)
+    data = ModelData(t=jnp.asarray(t), y=jnp.asarray(y), x=jnp.asarray(x), sigma_u=None)
+    params = jax.tree.map(jnp.asarray, final)
+    want = float(
+        blocks.logp_t_gp(spec, data, params)
+        + blocks.logp_y(spec, data, params)
+        + (blocks.logp_t_bernoulli(spec, data, params) if binary_t else 0.0)
+    )
+    assert float(stats.log_joint[-1]) == pytest.approx(want, rel=1e-10)
+
+
+@pytest.mark.parametrize("binary_t", [False, True])
+def test_run_mcmc_large_n_nou_nocov_matches_dense(binary_t):
+    """NoU NoCov: the treatment prior degenerates to the identity
+    (src/model_prior.jl:175-200) — continuous T contributes a data constant,
+    binary T keeps a collective-free O(N) logitT ES phase against N(0, I);
+    only the Y GP is sharded."""
+    n = 48
+    rng = np.random.default_rng(12)
+    t_lat = rng.normal(size=n)
+    t = (t_lat > 0).astype(float) if binary_t else t_lat
+    y = 0.7 * t + rng.normal(size=n) * 0.4
+    hp = default_hyperparameters().replace(
+        n_outer=3, n_mh_inner=2, n_es_inner=2, n_chains=1, n_burn_in=1
+    )
+    samples, stats, final = run_mcmc_large_n(
+        jax.random.key(9), t, y, None, binary_t=binary_t,
+        n_u=0, hp=hp, mesh=n_mesh(8), block=8,
+    )
+    samples, stats, final = jax.tree.map(np.asarray, (samples, stats, final))
+    # no treatment GP at all: its hyperparameter sites don't exist
+    for f in ("u", "u_noise", "ut_ls", "uy_ls", "t_noise", "t_scale"):
+        assert getattr(final, f) is None, f
+    assert np.all(np.isfinite(stats.log_joint))
+    if binary_t:
+        assert len(np.unique(samples.logit_t[:, 0])) > 1
+
+    from causalgpslc_tpu.models import blocks
+
+    spec = ModelSpec(n=n, n_u=None, n_x=None, binary_t=binary_t)
+    data = ModelData(t=jnp.asarray(t), y=jnp.asarray(y), x=None, sigma_u=None)
+    params = jax.tree.map(jnp.asarray, final)
+    want = float(
+        blocks.logp_t_gp(spec, data, params)
+        + blocks.logp_y(spec, data, params)
+        + (blocks.logp_t_bernoulli(spec, data, params) if binary_t else 0.0)
+    )
+    assert float(stats.log_joint[-1]) == pytest.approx(want, rel=1e-10)
+
+
+def test_gpslc_large_n_nou_end_to_end(data_dir):
+    """Obj-less data routes to the NoU sharded engine end-to-end
+    (VERDICT r4 item 4): MCMC -> sharded conditioning -> summaries."""
     import causalgpslc_tpu as cg
 
-    with pytest.raises(ValueError, match="obj"):
-        cg.gpslc_large_n(str(data_dir / "no_objects.csv"))
+    hp = cg.default_hyperparameters(n_outer=4, n_mh_inner=2, n_es_inner=1, n_burn_in=2)
+    g = cg.gpslc_large_n(
+        str(data_dir / "no_objects.csv"), hyperparams=hp, seed=0,
+        mesh=n_mesh(8), block=2,
+    )
+    assert g.counts is None
+    assert g.posterior_samples.u is None
+    assert g.posterior_samples.ty_ls.shape == (hp.n_outer,)
+
+    ite = cg.sample_ite_large_n(g, 0.5, samples_per_posterior=3)
+    assert ite.shape == (g.n, hp.n_posterior_samples * 3)
+    assert np.isfinite(ite).all()
+    df = cg.summarize_estimates(ite)
+    assert (df.LowerBound <= df.UpperBound).all()
 
 
 @pytest.mark.parametrize("binary_t", [False, True])
