@@ -27,7 +27,12 @@ from ..inference.gibbs import make_outer_step
 from ..models.spec import GPSLCParams, ModelData, ModelSpec
 from ..models.state import init_from_prior
 
-__all__ = ["save_chain_state", "load_chain_state", "run_mcmc_checkpointed"]
+__all__ = [
+    "save_chain_state",
+    "load_chain_state",
+    "load_chain_state_elastic",
+    "run_mcmc_checkpointed",
+]
 
 
 def _params_to_arrays(params: GPSLCParams) -> dict:
@@ -44,9 +49,17 @@ def _params_from_arrays(arrays: dict) -> GPSLCParams:
 
 def save_chain_state(
     path: str, params: GPSLCParams, key, outer_done: int, samples=None, drifts=None,
-    stats=None,
+    stats=None, chain_rows=None, n_chains: Optional[int] = None,
 ):
     """Atomically write chain state (+ optionally retained samples so far).
+
+    ``chain_rows``/``n_chains`` record WHICH global chain rows this file
+    holds (elastic-resume layout metadata): a multi-process run saves one
+    file per rank, each covering its slice of the global chain axis, and
+    :func:`load_chain_state_elastic` reassembles the global state from any
+    covering set of files — so a run checkpointed on P processes can resume
+    on Q (including Q=1). ``chain_rows`` accepts a ``slice`` or an index
+    array; omitted => no layout metadata (single-chain large-N snapshots).
 
     ``drifts`` are the current adaptive proposal variances — part of the
     Markov-chain state whenever ``adapt_proposals=True``, so they must
@@ -73,9 +86,16 @@ def save_chain_state(
                 if getattr(stats, f) is not None
             }
         )
-    payload["meta"] = np.frombuffer(
-        json.dumps({"outer_done": int(outer_done)}).encode(), dtype=np.uint8
-    )
+    meta = {"outer_done": int(outer_done)}
+    if chain_rows is not None:
+        if isinstance(chain_rows, slice):
+            rows = list(range(chain_rows.start or 0, chain_rows.stop))
+        else:
+            rows = [int(r) for r in np.asarray(chain_rows).reshape(-1)]
+        meta["chain_rows"] = rows
+    if n_chains is not None:
+        meta["n_chains"] = int(n_chains)
+    payload["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
         np.savez(f, **payload)
@@ -83,12 +103,7 @@ def save_chain_state(
     return str(path)
 
 
-def load_chain_state(path: str):
-    """Returns ``(params, key, outer_done, samples, drifts, stats)``.
-
-    ``samples``/``drifts`` are ``None`` when absent; ``stats`` is a plain
-    ``{field: array}`` dict (``None`` when absent) — callers rebuild their
-    typed stats tuple (StepStats / LargeNStats) from it."""
+def _load_with_meta(path: str):
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
         params = _params_from_arrays(
@@ -105,7 +120,94 @@ def load_chain_state(path: str):
         stats = (
             {k.split("/", 1)[1]: z[k] for k in stats_keys} if stats_keys else None
         )
-        return params, z["key"], meta["outer_done"], samples, drifts, stats
+        return (params, z["key"], meta["outer_done"], samples, drifts, stats), meta
+
+
+def load_chain_state(path: str):
+    """Returns ``(params, key, outer_done, samples, drifts, stats)``.
+
+    ``samples``/``drifts`` are ``None`` when absent; ``stats`` is a plain
+    ``{field: array}`` dict (``None`` when absent) — callers rebuild their
+    typed stats tuple (StepStats / LargeNStats) from it."""
+    state, _ = _load_with_meta(path)
+    return state
+
+
+def load_chain_state_elastic(base_path: str, n_chains: int):
+    """Assemble the GLOBAL chain state from any covering snapshot set.
+
+    Candidates are ``base_path`` itself (single-process / Q=1 saves) and
+    ``base_path.rank*`` (one file per process of a multi-process run, each
+    holding the chain rows its ``meta['chain_rows']`` records). Among
+    candidate files the largest ``outer_done`` whose files jointly cover all
+    ``n_chains`` rows wins — stale files from a previous process layout (a
+    P-process run later resumed on Q processes leaves both sets on disk) are
+    ignored. Returns ``(params, key, outer_done, samples, drifts, stats)``
+    with every chain-led leaf assembled in global row order, or ``None``
+    when no snapshot exists. Requires the snapshot files to live on storage
+    every process can read (shared filesystem), which is also what writing
+    them assumed."""
+    base = pathlib.Path(base_path)
+    candidates = []
+    if base.exists():
+        candidates.append(base)
+    candidates.extend(sorted(base.parent.glob(base.name + ".rank*")))
+    loaded = []
+    for p in candidates:
+        state, meta = _load_with_meta(str(p))
+        rows = meta.get("chain_rows")
+        if rows is None:
+            # legacy file without layout metadata: a bare file holds every
+            # chain; a rank file's placement is unknowable => unusable
+            if str(p) == str(base):
+                rows = list(range(int(np.asarray(state[0].ty_ls).shape[0])))
+            else:
+                continue
+        loaded.append((state, [int(r) for r in rows], int(state[2])))
+    if not loaded:
+        return None
+    for od in sorted({od for _, _, od in loaded}, reverse=True):
+        group = [(s, r) for s, r, o in loaded if o == od]
+        covered = sorted(r for _, rows in group for r in rows)
+        if covered != list(range(n_chains)):
+            continue
+        if len(group) == 1 and group[0][1] == list(range(n_chains)):
+            return group[0][0]
+
+        def _assemble(leaves):
+            pieces = [(rows, leaf) for (st, rows), leaf in zip(group, leaves)]
+            out = None
+            for rows, leaf in pieces:
+                if leaf is None:
+                    return None
+                a = np.asarray(leaf)
+                if out is None:
+                    out = np.empty((n_chains,) + a.shape[1:], dtype=a.dtype)
+                out[np.asarray(rows)] = a
+            return out
+
+        def _assemble_tree(trees):
+            if any(t is None for t in trees):
+                return None
+            return jax.tree.map(lambda *ls: _assemble(ls), *trees)
+
+        params = _assemble_tree([s[0] for s, _ in group])
+        samples = _assemble_tree([s[3] for s, _ in group])
+        stats_dicts = [s[5] for s, _ in group]
+        stats = (
+            {
+                k: _assemble([d[k] for d in stats_dicts])
+                for k in stats_dicts[0]
+            }
+            if all(d is not None for d in stats_dicts)
+            else None
+        )
+        key, drifts = group[0][0][1], group[0][0][4]
+        return params, key, od, samples, drifts, stats
+    raise ValueError(
+        f"checkpoint files under {base_path} do not cover all {n_chains} "
+        "chains at any single outer_done — cannot resume elastically"
+    )
 
 
 def _concat_samples(a: Optional[GPSLCParams], b: GPSLCParams) -> GPSLCParams:
@@ -256,24 +358,54 @@ def run_mcmc_checkpointed(
     else:
         drifts = jax.numpy.full((n_moves,), priors["drift"], dtype=dtype)
 
+    base_checkpoint_path = checkpoint_path
     if checkpoint_path is not None and jax.process_count() > 1:
-        # each host snapshots (and resumes) its own chain rows; resume
-        # requires the same process layout
+        # each host snapshots its own chain rows; the layout metadata each
+        # file carries lets load_chain_state_elastic reassemble the global
+        # state, so resume works on a DIFFERENT process/device layout too
         checkpoint_path = f"{checkpoint_path}.rank{jax.process_index()}"
 
+    if jax.process_count() > 1:
+        from .multihost import process_local_chain_slice
+
+        local_rows = process_local_chain_slice(hp.n_chains, mesh)
+    else:
+        local_rows = slice(0, hp.n_chains)
+
     stats = None
-    if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        params, key_arr, outer_done, samples, saved_drifts, saved_stats = load_chain_state(
-            checkpoint_path
+    resume_state = (
+        load_chain_state_elastic(base_checkpoint_path, hp.n_chains)
+        if base_checkpoint_path is not None
+        else None
+    )
+    if resume_state is not None:
+        # global state reassembled from whatever snapshot layout exists;
+        # this process keeps only its CURRENT rows (elastic resume)
+        params_g, key_arr, outer_done, samples_g, saved_drifts, saved_stats = resume_state
+        params = jax.tree.map(
+            lambda a: jax.numpy.asarray(np.asarray(a)[local_rows], dtype=dtype), params_g
         )
-        params = jax.tree.map(lambda a: jax.numpy.asarray(a, dtype=dtype), params)
+        samples = (
+            None
+            if samples_g is None
+            else jax.tree.map(lambda a: np.asarray(a)[local_rows], samples_g)
+        )
         key = jax.numpy.asarray(key_arr)
         if saved_drifts is not None:
             drifts = jax.numpy.asarray(saved_drifts, dtype=dtype)
         if saved_stats is not None:
             from ..inference.gibbs import StepStats
 
-            stats = StepStats(**{f: saved_stats.get(f) for f in StepStats._fields})
+            stats = StepStats(
+                **{
+                    f: (
+                        None
+                        if saved_stats.get(f) is None
+                        else np.asarray(saved_stats[f])[local_rows]
+                    )
+                    for f in StepStats._fields
+                }
+            )
     else:
         chain_keys = jax.random.split(jax.random.fold_in(key, 0), hp.n_chains)
         params = jax.vmap(lambda k: init_from_prior(k, spec, priors, data, dtype=dtype))(
@@ -333,6 +465,7 @@ def run_mcmc_checkpointed(
             save_chain_state(
                 checkpoint_path, jax.tree.map(_to_host, params), key, outer_done,
                 samples, drifts, stats,
+                chain_rows=local_rows, n_chains=hp.n_chains,
             )
         if progress_callback is not None:
             progress_callback(outer_done, hp.n_outer)

@@ -223,6 +223,129 @@ def test_two_process_large_n_sharding(tmp_path):
     assert len(vals) == 1, f"cross-process results diverged: {vals}"
 
 
+ELASTIC_WORKER = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=int(sys.argv[2]),
+    process_id=int(sys.argv[3]),
+)
+import numpy as np
+import pandas as pd
+
+import causalgpslc_tpu as cg
+from causalgpslc_tpu.models.spec import make_model_data
+from causalgpslc_tpu.parallel.checkpoint import run_mcmc_checkpointed
+from causalgpslc_tpu.parallel.multihost import global_chain_mesh
+
+rng = np.random.default_rng(7)
+n = 12
+df = pd.DataFrame({"T": rng.normal(size=n), "Y": rng.normal(size=n),
+                   "obj": np.repeat(np.arange(3), 4)})
+prepared = cg.prepare_data(df)
+hp = cg.default_hyperparameters(n_outer=6, n_mh_inner=1, n_es_inner=1,
+                                n_burn_in=1, n_u=1, n_chains=4)
+pp = cg.default_prior_parameters()
+spec, data = make_model_data(prepared, n_u=hp.n_u)
+
+
+class Crash(Exception):
+    pass
+
+
+def cb(done, total):
+    if done >= 2:
+        raise Crash
+
+
+try:
+    run_mcmc_checkpointed(
+        jax.random.PRNGKey(3), spec, pp, data, hp, sys.argv[4],
+        checkpoint_every=2, mesh=global_chain_mesh(), progress_callback=cb,
+    )
+except Crash:
+    print(f"RANK{sys.argv[3]} CRASHED OK")
+"""
+
+
+@pytest.mark.slow
+def test_elastic_resume_two_process_to_one(tmp_path):
+    """Elastic recovery (VERDICT r4 item 6, the 'pod loses a host' story):
+    a 2-process sharded run crashes mid-way leaving one snapshot per rank;
+    a SINGLE process then resumes from those rank files — the elastic loader
+    reassembles the global chain state from the recorded layouts — and
+    matches the uninterrupted single-process run per chain."""
+    import jax
+    import numpy as np
+    import pandas as pd
+
+    import causalgpslc_tpu as cg
+    from causalgpslc_tpu.models.spec import make_model_data
+    from causalgpslc_tpu.parallel.checkpoint import run_mcmc_checkpointed
+    from causalgpslc_tpu.parallel.mesh import chain_mesh
+
+    worker = tmp_path / "worker_el.py"
+    worker.write_text(ELASTIC_WORKER)
+    ckpt = str(tmp_path / "el.npz")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    repo_root = str(pathlib.Path(__file__).parent.parent)
+    env_base = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(rank), ckpt],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env_base, cwd=repo_root,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"RANK{rank} CRASHED OK" in out, out
+    assert os.path.exists(f"{ckpt}.rank0") and os.path.exists(f"{ckpt}.rank1")
+
+    # identical problem setup in THIS (single) process
+    rng = np.random.default_rng(7)
+    n = 12
+    df = pd.DataFrame({"T": rng.normal(size=n), "Y": rng.normal(size=n),
+                       "obj": np.repeat(np.arange(3), 4)})
+    prepared = cg.prepare_data(df)
+    hp = cg.default_hyperparameters(n_outer=6, n_mh_inner=1, n_es_inner=1,
+                                    n_burn_in=1, n_u=1, n_chains=4)
+    pp = cg.default_prior_parameters()
+    spec, data = make_model_data(prepared, n_u=hp.n_u)
+    key = jax.random.PRNGKey(3)
+
+    full, _, _ = run_mcmc_checkpointed(
+        key, spec, pp, data, hp, None, checkpoint_every=2, mesh=chain_mesh(4)
+    )
+    resumed, stats, _ = run_mcmc_checkpointed(
+        key, spec, pp, data, hp, ckpt, checkpoint_every=2, mesh=chain_mesh(4)
+    )
+    for f in full._fields:
+        a = getattr(full, f)
+        if a is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(getattr(resumed, f)), np.asarray(a),
+            rtol=1e-12, atol=1e-13, err_msg=f,
+        )
+    assert stats.mh_accept_rate.shape == (hp.n_chains, hp.n_outer)
+
+
 def test_bench_pod_single_process_smoke(tmp_path):
     """bench_pod.py without a process group: single host, virtual 2-device
     chain mesh, tiny budgets — the fast-tier guard that the pod artifact
