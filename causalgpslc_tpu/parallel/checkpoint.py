@@ -336,6 +336,12 @@ def run_mcmc_checkpointed(
         len(block_sites(spec)) if hp.mh_block_sweep else len(_sweep_moves(spec))
     )
     if hp.dynamic_proposals:
+        if checkpoint_path is not None:
+            raise ValueError(
+                "dynamic_proposals does not support snapshots yet (the drifts "
+                "slot holds a ProposalParams pytree, not a flat array); run "
+                "with checkpoint_path=None"
+            )
         # runtime per-move proposal arrays ride the drifts slot: one compiled
         # chunk program serves every per-site tuning (inference/mh.py
         # ProposalParams; the round-5 on-chip kernel search)
@@ -347,15 +353,9 @@ def run_mcmc_checkpointed(
             else proposal_params_for(spec, priors, hp)
         )
         drifts = jax.tree.map(lambda a: jax.numpy.asarray(a, dtype=dtype), drifts)
-    elif proposal_params is not None:
-        raise ValueError("proposal_params requires hp.dynamic_proposals=True")
-    if hp.dynamic_proposals and checkpoint_path is not None:
-        raise ValueError(
-            "dynamic_proposals does not support snapshots yet (the drifts "
-            "slot holds a ProposalParams pytree, not a flat array); run with "
-            "checkpoint_path=None"
-        )
     else:
+        if proposal_params is not None:
+            raise ValueError("proposal_params requires hp.dynamic_proposals=True")
         drifts = jax.numpy.full((n_moves,), priors["drift"], dtype=dtype)
 
     base_checkpoint_path = checkpoint_path

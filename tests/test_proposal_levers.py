@@ -307,6 +307,38 @@ def test_dynamic_proposals_restating_global_bit_identical():
     _assert_samples_equal(s_static, s_dyn)
 
 
+def test_dynamic_proposals_change_chains_through_chunked_runner():
+    """A NON-restating ProposalParams passed through run_mcmc_checkpointed
+    must actually change the chains (regression: the drifts slot was being
+    overwritten with the flat static array whenever checkpoint_path was
+    None, so every 'retuned' run silently reran the static kernel — the
+    restating test cannot catch that, since the fallback is bit-identical
+    to the static chain by construction)."""
+    from causalgpslc_tpu.inference.mh import proposal_params_for
+    from causalgpslc_tpu.parallel.checkpoint import run_mcmc_checkpointed
+
+    spec, data = make_case(True, False, False)
+    pp = cg.default_prior_parameters()
+    kw = dict(
+        n_u=spec.n_u, n_outer=4, n_mh_inner=3, n_es_inner=2, n_burn_in=1,
+        n_chains=2, inner_unroll=False, mh_wide_drift=100.0, mh_wide_prob=0.3,
+    )
+    hp_d = cg.default_hyperparameters(**kw, dynamic_proposals=True)
+    pprm = proposal_params_for(spec, pp, hp_d)
+    base, _, _ = run_mcmc_checkpointed(
+        jax.random.PRNGKey(4), spec, pp, data, hp_d, None, checkpoint_every=2,
+        proposal_params=pprm,
+    )
+    retuned, _, _ = run_mcmc_checkpointed(
+        jax.random.PRNGKey(4), spec, pp, data, hp_d, None, checkpoint_every=2,
+        proposal_params=pprm._replace(
+            wide_prob=jnp.zeros_like(pprm.wide_prob),
+            narrow=jnp.full_like(pprm.narrow, 0.05),
+        ),
+    )
+    assert not np.allclose(np.asarray(base.ty_ls), np.asarray(retuned.ty_ls))
+
+
 def test_dynamic_proposals_retune_without_retrace():
     """Different ProposalParams inputs reuse ONE traced program (the whole
     point: on-chip kernel search without 15-min recompiles) and produce
