@@ -99,6 +99,20 @@ SETTINGS = {
     "mh5": ("mh5", {}),
     "mh15": ("mh15", {}),
     "es2": ("es2", {}),
+    # second wave (informed by wave 1): ls-site boosts with the ns wide
+    # component KEPT at the bench default — wave 1 showed ns_wp=0 is fragile
+    # (y_noise occasionally sticks: min-ESS 17 and doubled wall on one seed)
+    # while ls_wp=0.5 lifted ty_ls ESS 63 -> 98 on the seed where y_noise
+    # stayed healthy.
+    "ls_p05": ("base", {"ls_wp": 0.5}),
+    "ls_p07": ("base", {"ls_wp": 0.7}),
+    "ls_w300": ("base", {"ls_wv": 300.0}),
+    "ls_w300_p05": ("base", {"ls_wv": 300.0, "ls_wp": 0.5}),
+    "ns_p05": ("base", {"ns_wp": 0.5}),
+    "all_p05": ("base", {"ls_wp": 0.5, "ns_wp": 0.5}),
+    # finalist combo: the es2 schedule with the robust ls-wide tuning
+    # (same compiled program as es2 — proposal arrays are runtime inputs)
+    "es2_ls_w300_p05": ("es2", {"ls_wv": 300.0, "ls_wp": 0.5}),
 }
 
 
@@ -142,7 +156,7 @@ def run_once(spec, pp, data, hp, seed, pprm):
     )
 
 
-def measure_setting(name, warm_only=False):
+def measure_setting(name, warm_only=False, seeds=SEEDS):
     from causalgpslc_tpu.diagnostics import effective_sample_size
 
     program, kw = SETTINGS[name]
@@ -155,7 +169,7 @@ def measure_setting(name, warm_only=False):
 
     retained = np.asarray(hp.retained_indices())
     rows = []
-    for seed in SEEDS:
+    for seed in seeds:
         t0 = time.perf_counter()
         samples, _, _ = run_once(spec, pp, data, hp, seed, pprm)
         wall = time.perf_counter() - t0
@@ -164,14 +178,43 @@ def measure_setting(name, warm_only=False):
             for f in ("ty_ls", "y_noise", "y_scale")
         }
         min_ess = min(ess_vals.values())
+        # Full-state mixing audit: a schedule change (e.g. fewer ES sweeps)
+        # must not win the 3-field headline by letting the unmeasured sites
+        # go stale (pseudo-mixing: hyperparameters exploring p(theta|U~fixed)).
+        aux = {}
+        for f in ("t_noise", "t_scale", "u_noise"):
+            v = getattr(samples, f, None)
+            if v is not None:
+                aux[f] = float(effective_sample_size(np.asarray(v)[:, retained]))
+        for f in ("uy_ls", "ut_ls"):
+            v = getattr(samples, f, None)
+            if v is not None:
+                arr = np.asarray(v)[:, retained]  # (chains, draws, nU)
+                aux[f] = float(min(
+                    effective_sample_size(arr[..., k]) for k in range(arr.shape[-1])
+                ))
+        if getattr(samples, "u", None) is not None:
+            u = np.asarray(samples.u)[:, retained]  # (chains, draws, n, nU)
+            coords = range(0, u.shape[2], max(1, u.shape[2] // 16))
+            aux["u"] = float(min(
+                effective_sample_size(u[:, :, i, k])
+                for i in coords for k in range(u.shape[-1])
+            ))
+        min_ess_all = min([min_ess, *aux.values()]) if aux else min_ess
         rows.append({
             "seed": seed, "wall_s": round(wall, 2), "ess": ess_vals,
-            "min_ess": round(min_ess, 2), "ess_per_s": round(min_ess / wall, 3),
+            "ess_aux": {k: round(v, 2) for k, v in aux.items()},
+            "min_ess": round(min_ess, 2),
+            "min_ess_all": round(min_ess_all, 2),
+            "ess_per_s": round(min_ess / wall, 3),
+            "ess_all_per_s": round(min_ess_all / wall, 3),
         })
     rec = {
         "setting": name, "program": program, "pp_kwargs": kw,
         "n_outer": N_OUTER, "chains": N_CHAINS, "runs": rows,
         "ess_per_s_mean": round(float(np.mean([r["ess_per_s"] for r in rows])), 3),
+        "ess_all_per_s_mean": round(
+            float(np.mean([r["ess_all_per_s"] for r in rows])), 3),
     }
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
@@ -184,8 +227,11 @@ def main():
     ap.add_argument("--compile", action="store_true")
     ap.add_argument("--measure", action="store_true")
     ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--seeds", type=str, default=None,
+                    help="comma-separated seeds (finalist confirmation runs)")
     args = ap.parse_args()
 
+    seeds = SEEDS if args.seeds is None else tuple(int(s) for s in args.seeds.split(","))
     names = list(SETTINGS) if args.only is None else args.only.split(",")
     if args.compile:
         # one setting per program suffices to compile+cache that program
@@ -202,7 +248,7 @@ def main():
         return
     if args.measure:
         for name in names:
-            measure_setting(name)
+            measure_setting(name, seeds=seeds)
         return
     ap.print_help()
 
