@@ -22,6 +22,14 @@ Horizon (round 3): 48 outer iterations run as chunks of 8 jitted scans
 over ~20 s on-device, so the long horizon must chunk; ESS is computed on the
 41 retained post-burn-in draws per chain (the round-2 bench used one 10-outer
 program, whose short-horizon ESS BASELINE.md flags as optimistic).
+
+Kernel (round 5): per-site proposals via the runtime ``ProposalParams``
+input — lengthscale sites take a (300, p=0.5) wide-jump mixture, noise/
+scale sites keep (100, 0.3) — and 2 ES sweeps per outer instead of the
+reference's 5. Measured at the matched horizon over 6 seeds: beats the
+round-4 kernel on every seed, 2.0x on the mean (full matrix, audit, and
+the U-mixing tradeoff in BASELINE.md "Round 5").
+``BENCH_DYNAMIC=0 BENCH_ES_INNER=5`` restores the round-4 kernel exactly.
 """
 
 from __future__ import annotations
@@ -54,11 +62,49 @@ def _wide_drift_from_env():
     the wide component (None), matching gibbs.py's truthiness gate.
     Default 100 at p=0.3: the measured round-3 winner on the site sweep
     (1.97 vs 1.58 ess/s without it); wider/more-frequent jumps measured
-    SLOWER (they land chains where the ESS angle-shrinkage loop runs long)."""
+    SLOWER (they land chains where the ESS angle-shrinkage loop runs long).
+    Round 5 narrows that conclusion to the noise/scale sites: the
+    LENGTHSCALE sites get their own wider/more-frequent mixture via
+    BENCH_LS_WIDE_DRIFT/PROB (see _proposal_params)."""
     if "BENCH_WIDE_DRIFT" not in os.environ:
         return 100.0
     v = float(os.environ["BENCH_WIDE_DRIFT"])
     return v if v > 0 else None
+
+
+def _proposal_params(spec, priors, hp):
+    """Round-5 default kernel: per-site proposal arrays through the runtime
+    ``ProposalParams`` input (hp.dynamic_proposals), so tunings reuse one
+    compiled program (the matched-horizon study's, benchmarks/ess_study.py).
+
+    Measured winner at the honest 48-outer horizon over 6 seeds
+    (BASELINE.md "Round 5"): lengthscale sites take a wider, more frequent
+    jump mixture (variance 300, p=0.5 — they mix across flat plateaus)
+    while noise/scale sites keep the round-3 (100, p=0.3) insurance
+    (removing it strands chains: min-ESS pinned ~17.6 with doubled wall).
+    Returns None when BENCH_DYNAMIC=0 restores the static round-3/4 kernel.
+    """
+    if os.environ.get("BENCH_DYNAMIC", "1") != "1":
+        return None
+    import jax.numpy as jnp
+
+    from causalgpslc_tpu.inference.mh import ProposalParams, sweep_moves
+
+    ls_wv = float(os.environ.get("BENCH_LS_WIDE_DRIFT", 300.0))
+    ls_wp = float(os.environ.get("BENCH_LS_WIDE_PROB", 0.5))
+    ns_wv = hp.mh_wide_drift or 0.0
+    ns_wp = hp.mh_wide_prob if hp.mh_wide_drift else 0.0
+    narrow, wv, wp = [], [], []
+    for field, _ in sweep_moves(spec):
+        is_ls = field.endswith("_ls")
+        narrow.append(float(priors["drift"]))
+        wv.append(float(ls_wv if is_ls else ns_wv) or 1.0)
+        wp.append(float(ls_wp if is_ls else ns_wp))
+    return ProposalParams(
+        narrow=jnp.asarray(np.asarray(narrow), dtype=jnp.float32),
+        wide_var=jnp.asarray(np.asarray(wv), dtype=jnp.float32),
+        wide_prob=jnp.asarray(np.asarray(wp), dtype=jnp.float32),
+    )
 
 
 def main():
@@ -97,7 +143,15 @@ def main():
         n_u=1,
         n_outer=N_OUTER,
         n_mh_inner=int(os.environ.get("BENCH_MH_INNER", 10)),
-        n_es_inner=int(os.environ.get("BENCH_ES_INNER", 5)),
+        # round-5 default: 2 elliptical-slice sweeps per outer (reference
+        # budget is 5). Measured at the matched horizon over 6 seeds: nearly
+        # 2x the hyperparameter min-ESS at ~25% less wall (fewer ES While
+        # phases = fewer dispatch quanta). The U-mixing tradeoff is
+        # disclosed in BASELINE.md "Round 5" (U ESS/draw halves, U ESS/s
+        # roughly holds; u_noise is chronically slow under EVERY kernel
+        # incl. the reference's). BENCH_ES_INNER=5 restores the
+        # reference-shaped schedule.
+        n_es_inner=int(os.environ.get("BENCH_ES_INNER", 2)),
         n_burn_in=max(1, N_OUTER // 6),
         n_chains=N_CHAINS,
         adapt_proposals=adapt,
@@ -119,9 +173,13 @@ def main():
         # heterogeneous phase schedule. Off by default; kept as an execution
         # mode (its bitwise equivalence is a strong sweep-semantics check).
         flat_execution=os.environ.get("BENCH_FLAT", "0") == "1",
+        # per-site proposal arrays ride the runtime ProposalParams input of
+        # one compiled program (BENCH_DYNAMIC=0 restores the static kernel)
+        dynamic_proposals=os.environ.get("BENCH_DYNAMIC", "1") == "1",
     )
     pp = cg.default_prior_parameters()
     spec, data = make_model_data(prepared, n_u=hp.n_u, dtype=dtype)
+    pprm = _proposal_params(spec, pp, hp)
 
     def run(seed):
         # chunked execution: each chunk is one jitted program under the axon
@@ -131,6 +189,7 @@ def main():
         samples, stats, _ = run_mcmc_checkpointed(
             jax.random.PRNGKey(seed), spec, pp, data, hp,
             checkpoint_path=None, checkpoint_every=CHUNK,
+            proposal_params=pprm,
             scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
         )
         return samples

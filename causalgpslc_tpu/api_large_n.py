@@ -227,28 +227,49 @@ def predict_counterfactual_effects_large_n(
     max_do_t=None,
     seed: int = 1,
     sample_batch: int = 8,
+    batched: bool = False,
 ):
     """ITE samples across a doT grid at large N
     (``predictCounterfactualEffects``, ``src/prediction.jl:23-36``).
 
     Returns ``(ite, do_t_range)`` with ``ite`` of shape
-    ``(fidelity + 1, n, S * n_samples_per_mixture)``. The whole
-    (grid x posterior sample) product streams through ONE sample-batched
-    sharded program (``ite_distributions_grid_large_n``):
-    ceil((fidelity+1) * S / sample_batch) dispatches for the entire sweep.
+    ``(fidelity + 1, n, S * n_samples_per_mixture)``.
+
+    ``batched=True`` streams the whole (grid x posterior sample) product
+    through ONE sample-batched sharded program
+    (``ite_distributions_grid_large_n``): ceil((fidelity+1) * S /
+    sample_batch) dispatches for the entire sweep vs the loop's
+    (fidelity+1) * ceil(S / sample_batch) partially-full rounds. Measured
+    on-chip at N=5000, S=15, G=101 (``benchmarks/grid_batch_bench_S15.json``)
+    the per-point loop is nonetheless FASTER (51 vs 75 s): the
+    conditioning programs run for seconds each, so the ~22-26 ms
+    dispatch overhead is noise and the paired program's per-lane doT
+    handling costs real time. Default is therefore the loop; ``batched``
+    pays off when ``S % sample_batch`` leaves many partial batches.
     Individual draws carry marginal uncertainty only — see
     :func:`sample_ite_large_n`."""
     lo = float(g.t.min()) if min_do_t is None else float(min_do_t)
     hi = float(g.t.max()) if max_do_t is None else float(max_do_t)
     grid = np.linspace(lo, hi, fidelity + 1)
-    # grid x sample pairs fold into ONE batched-program stream:
-    # ceil((fidelity+1) * S / sample_batch) dispatches total, vs the former
-    # host loop's (fidelity+1) * ceil(S / sample_batch) partially-full rounds
-    means_g, vars_g, _, _ = ite_distributions_grid_large_n(
-        g.retained_samples(), g.t, g.y, grid, x=g.x, mesh=g.mesh, block=g.block,
-        prediction_covariance_noise=g.hyperparams.prediction_covariance_noise,
-        pair_batch=sample_batch,
-    )
+    if batched:
+        means_g, vars_g, _, _ = ite_distributions_grid_large_n(
+            g.retained_samples(), g.t, g.y, grid, x=g.x, mesh=g.mesh,
+            block=g.block,
+            prediction_covariance_noise=g.hyperparams.prediction_covariance_noise,
+            pair_batch=sample_batch,
+        )
+    else:
+        per_point = [
+            ite_distributions_large_n(
+                g.retained_samples(), g.t, g.y, float(do_t), x=g.x,
+                mesh=g.mesh, block=g.block,
+                prediction_covariance_noise=g.hyperparams.prediction_covariance_noise,
+                sample_batch=sample_batch,
+            )
+            for do_t in grid
+        ]
+        means_g = np.stack([np.asarray(p[0]) for p in per_point])
+        vars_g = np.stack([np.asarray(p[1]) for p in per_point])
     out = [
         np.asarray(
             ite_samples_marginal(

@@ -33,6 +33,58 @@ ALL_VARIANTS = [
     (u, x, b) for u in (True, False) for x in (True, False) for b in (True, False)
 ]
 
+# ---------------------------------------------------------------------------
+# Shared compiled programs (VERDICT r4 item 7). Full-MCMC CPU compiles are
+# this file's wall — one canonical site-sweep run per model variant (and one
+# rolled identity-baseline per treatment type) is computed once and shared by
+# every test whose assertion doesn't need its own program: the stuck-site
+# sweep, acceptance-rate, reproducibility, ESS-cap, and grouped-sweep
+# equivalence all ride the same 8 canonical executables, and the
+# rolled/speculative identity tests share one sb=1 blocked baseline.
+# ---------------------------------------------------------------------------
+
+_CANONICAL = {}
+
+
+def canonical_run(has_u, has_x, binary_t):
+    """Memoized (spec, data, hp, samples, stats) for the canonical HP run."""
+    key = (has_u, has_x, binary_t)
+    if key not in _CANONICAL:
+        spec, data = make_case(*key)
+        pp = cg.default_prior_parameters()
+        hp = cg.default_hyperparameters(n_chains=2, n_u=spec.n_u, **HP)
+        samples, stats, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
+        _CANONICAL[key] = (spec, data, hp, samples, stats)
+    return _CANONICAL[key]
+
+
+# Identity-test budgets: one config so the rolled sb=1 blocked program is a
+# jit-cache hit between the inner-unroll and speculative-ESS identity tests.
+HP_ID = dict(
+    n_outer=3, n_mh_inner=2, n_es_inner=3, n_burn_in=1, n_chains=2,
+    mh_block_sweep=True,
+)
+_ID_BASE = {}
+
+
+def identity_baseline(binary_t):
+    """Memoized rolled sb=1 blocked-sweep run at HP_ID (key 0)."""
+    if binary_t not in _ID_BASE:
+        spec, data = make_case(True, True, binary_t)
+        pp = cg.default_prior_parameters()
+        hp = cg.default_hyperparameters(n_u=spec.n_u, inner_unroll=False, **HP_ID)
+        s, _, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
+        _ID_BASE[binary_t] = (spec, data, s)
+    return _ID_BASE[binary_t]
+
+
+def assert_samples_equal(a_samples, b_samples):
+    for f in a_samples._fields:
+        a, b = getattr(a_samples, f), getattr(b_samples, f)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+
 
 def test_drift_proposal_moments():
     """shape = cur^2/var + 2, scale = cur(shape-1) gives mean=cur, var=drift."""
@@ -59,10 +111,7 @@ def test_sweep_moves_counts():
 @pytest.mark.parametrize("has_u,has_x,binary_t", ALL_VARIANTS)
 def test_no_stuck_sites(has_u, has_x, binary_t):
     """Every latent site must move across outer iterations (stuck detector)."""
-    spec, data = make_case(has_u, has_x, binary_t)
-    pp = cg.default_prior_parameters()
-    hp = cg.default_hyperparameters(n_chains=2, n_u=spec.n_u, **HP)
-    samples, stats, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
+    _, _, _, samples, _ = canonical_run(has_u, has_x, binary_t)
     stuck = stuck_sites(samples)
     # logit_t in the NoU-NoCov binary variant is never updated, matching the
     # reference (no ESS at all there, src/inference.jl:370-377)
@@ -74,21 +123,17 @@ def test_no_stuck_sites(has_u, has_x, binary_t):
 
 
 def test_chains_differ_and_are_reproducible():
-    spec, data = make_case(True, False, False)
+    spec, data, hp, s1, _ = canonical_run(True, False, False)
     pp = cg.default_prior_parameters()
-    hp = cg.default_hyperparameters(n_chains=3, n_u=spec.n_u, **HP)
-    s1, _, _ = run_mcmc_jit(jax.random.PRNGKey(7), spec, pp, data, hp)
-    s2, _, _ = run_mcmc_jit(jax.random.PRNGKey(7), spec, pp, data, hp)
+    # same program (jit-cache hit), same key -> identical samples
+    s2, _, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
     np.testing.assert_array_equal(np.asarray(s1.ty_ls), np.asarray(s2.ty_ls))
     ty = np.asarray(s1.ty_ls)
     assert not np.allclose(ty[0], ty[1])
 
 
 def test_mh_acceptance_rate_sane():
-    spec, data = make_case(True, True, False)
-    pp = cg.default_prior_parameters()
-    hp = cg.default_hyperparameters(n_chains=4, n_u=spec.n_u, n_outer=8, n_mh_inner=2, n_es_inner=1, n_burn_in=1, inner_unroll=False)
-    _, stats, _ = run_mcmc_jit(jax.random.PRNGKey(1), spec, pp, data, hp)
+    _, _, _, _, stats = canonical_run(True, True, False)
     rate = float(np.mean(np.asarray(stats.mh_accept_rate)))
     assert 0.05 < rate < 0.95
 
@@ -273,9 +318,15 @@ def test_blocked_sweep_no_stuck_sites():
     assert 0.02 < rate < 0.95
 
 
+@pytest.mark.slow
 def test_blocked_sweep_posterior_consistent_with_reference_sweep():
     """Blocked and site-by-site sweeps target the same posterior: compare
-    retained-sample moments on a long-ish run."""
+    retained-sample moments on a long-ish run.
+
+    Slow tier: a statistical moment comparison needing a 60-outer 8-chain run
+    per sweep (two full-MCMC compiles + the file's longest run wall); the
+    fast tier keeps the bitwise blocked-path checks (test_flat, inner-unroll)
+    and the blocked stuck-site smoke."""
     spec, data = make_case(True, False, False, seed=3)
     pp = cg.default_prior_parameters()
     base = dict(n_chains=8, n_u=spec.n_u, n_outer=60, n_es_inner=2, n_burn_in=20, inner_unroll=False)
@@ -296,22 +347,11 @@ def test_inner_unroll_and_fori_bitwise_identical(binary_t):
     """inner_unroll=False (rolled lax.fori_loop inner loops, the fast-compile
     mode) must reproduce the unrolled mode's samples bit-for-bit — same RNG
     fold_in streams, same op order per iteration."""
-    jax.clear_caches()  # each run compiles a full MCMC program; free headroom
-    spec, data = make_case(True, True, binary_t)
+    spec, data, base_samples = identity_baseline(binary_t)
     pp = cg.default_prior_parameters()
-    outs = {}
-    for unroll in (True, False):
-        hp = cg.default_hyperparameters(
-            n_u=spec.n_u, n_outer=3, n_mh_inner=3, n_es_inner=3, n_burn_in=1,
-            n_chains=2, mh_block_sweep=True, inner_unroll=unroll,
-        )
-        s, _, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
-        outs[unroll] = s
-    for f in outs[True]._fields:
-        a, b = getattr(outs[True], f), getattr(outs[False], f)
-        if a is None:
-            continue
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+    hp = cg.default_hyperparameters(n_u=spec.n_u, inner_unroll=True, **HP_ID)
+    s, _, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
+    assert_samples_equal(base_samples, s)
 
 
 @pytest.mark.parametrize("spec_batch", [3, 8])
@@ -347,23 +387,15 @@ def test_ess_speculative_bitwise_identical(spec_batch):
 @pytest.mark.parametrize("binary_t", [False, True])
 def test_ess_spec_batch_mcmc_bitwise_identical(binary_t):
     """Full MCMC with hp.ess_spec_batch=4 must equal the sequential default
-    bit-for-bit (same RNG streams, same accepted states)."""
-    jax.clear_caches()  # each run compiles a full MCMC program; free headroom
-    spec, data = make_case(True, True, binary_t)
+    bit-for-bit (same RNG streams, same accepted states).
+    Baseline = the shared rolled sb=1 identity run (same HP_ID, same key)."""
+    spec, data, base_samples = identity_baseline(binary_t)
     pp = cg.default_prior_parameters()
-    outs = {}
-    for sb in (1, 4):
-        hp = cg.default_hyperparameters(
-            n_u=spec.n_u, n_outer=3, n_mh_inner=2, n_es_inner=3, n_burn_in=1,
-            n_chains=2, mh_block_sweep=True, ess_spec_batch=sb,
-        )
-        s, _, _ = run_mcmc_jit(jax.random.PRNGKey(3), spec, pp, data, hp)
-        outs[sb] = s
-    for f in outs[1]._fields:
-        a, b = getattr(outs[1], f), getattr(outs[4], f)
-        if a is None:
-            continue
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+    hp = cg.default_hyperparameters(
+        n_u=spec.n_u, inner_unroll=False, ess_spec_batch=4, **HP_ID
+    )
+    s, _, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp)
+    assert_samples_equal(base_samples, s)
 
 
 def test_inner_unroll_none_resolves_by_platform(monkeypatch):
@@ -398,8 +430,10 @@ def test_inner_unroll_none_resolves_by_platform(monkeypatch):
 def test_ess_cap_never_binding():
     """The bounded elliptical-slice loop's truncation bias claim rests on the
     64-iteration cap never binding; stats.ess_iters sums the shrinkage
-    iterations of every ES move in an outer step, so max(sum) < cap implies
-    no single move hit it."""
+    iterations of every ES move in an outer step, so the bound only implies
+    no single move hit the cap when n_es_inner=1 — this test keeps its own
+    dedicated budget (NOT the shared canonical run, whose es2 sweeps sum
+    ~6 moves and legitimately exceed 64 in aggregate)."""
     spec, data = make_case(True, True, True)  # U + X + binary T: logitT + U ESS
     pp = cg.default_prior_parameters()
     hp = cg.default_hyperparameters(
@@ -407,6 +441,8 @@ def test_ess_cap_never_binding():
         n_burn_in=1, inner_unroll=False,
     )
     _, stats, _ = run_mcmc_jit(jax.random.PRNGKey(5), spec, pp, data, hp)
+    # n_es_inner=1: the sum covers the nU+logitT moves of ONE sweep; < 64
+    # implies no single move reached the cap
     assert int(np.max(np.asarray(stats.ess_iters))) < 64
 
 
@@ -436,20 +472,10 @@ def test_grouped_sweep_bitwise_identical_to_site_sweep(binary_t):
     """mh_grouped_sweep must reproduce the sequential site sweep's chain
     bit-for-bit: disjoint-block moves executed from the shared pre-round
     state with the same per-move RNG keys ARE the sequential composition
-    (no move's density or proposal involves another round-member's site)."""
-    jax.clear_caches()
-    spec, data = make_case(True, True, binary_t)
+    (no move's density or proposal involves another round-member's site).
+    Baseline = the shared canonical site-sweep run (same HP, same key)."""
+    spec, data, hp, base_samples, _ = canonical_run(True, True, binary_t)
     pp = cg.default_prior_parameters()
-    outs = {}
-    for grouped in (False, True):
-        hp = cg.default_hyperparameters(
-            n_u=spec.n_u, n_outer=4, n_mh_inner=3, n_es_inner=2, n_burn_in=1,
-            n_chains=2, mh_grouped_sweep=grouped, inner_unroll=False,
-        )
-        s, _, _ = run_mcmc_jit(jax.random.PRNGKey(11), spec, pp, data, hp)
-        outs[grouped] = s
-    for f in outs[False]._fields:
-        a, b = getattr(outs[False], f), getattr(outs[True], f)
-        if a is None:
-            continue
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+    hp_grouped = hp.replace(mh_grouped_sweep=True)
+    s, _, _ = run_mcmc_jit(jax.random.PRNGKey(0), spec, pp, data, hp_grouped)
+    assert_samples_equal(base_samples, s)

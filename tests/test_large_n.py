@@ -826,7 +826,8 @@ def test_grid_batched_conditioning_matches_per_point_loop():
 
 
 def test_predict_counterfactual_effects_large_n_small_grid():
-    """End-to-end grid API on the batched stream: shapes + finiteness."""
+    """End-to-end grid API: shapes + finiteness on the default per-point
+    loop, and the batched (grid x sample) stream agrees with it."""
     import causalgpslc_tpu as cg
     from causalgpslc_tpu.api_large_n import (
         gpslc_large_n,
@@ -848,3 +849,11 @@ def test_predict_counterfactual_effects_large_n_small_grid():
     assert ite.shape == (4, n, g.hyperparams.n_posterior_samples * 2)
     assert len(do_ts) == 4
     assert np.isfinite(ite).all()
+    # batched=True (grid x sample paired stream) draws identical samples:
+    # same conditioning moments (test_grid_batched_conditioning_matches_
+    # per_point_loop gates them to tight tolerance), same seed stream
+    ite_b, do_ts_b = predict_counterfactual_effects_large_n(
+        g, 2, fidelity=3, batched=True
+    )
+    np.testing.assert_array_equal(do_ts, do_ts_b)
+    np.testing.assert_allclose(ite, ite_b, rtol=1e-8, atol=1e-8)
