@@ -36,6 +36,16 @@ SPEED = dict(
 # the round-2 alternate (BENCH_BLOCKED=1 BENCH_ADAPT=1): blocked joint
 # proposals + burn-in adaptation — still selectable via env, still validated
 SPEED_BLOCKED = dict(SPEED, mh_block_sweep=True, adapt_proposals=True)
+# the round-5 bench default: lengthscale sites take a (300, p=0.5) wide
+# mixture (static per-site overrides = the same kernel bench.py builds as
+# runtime ProposalParams), noise/scale sites keep (100, 0.3), and the outer
+# iteration spends 2 ES sweeps (BASELINE.md "Round 5" matrix + audit)
+_LS_FIELDS = ("ty_ls", "ut_ls", "uy_ls", "ux_ls", "xt_ls", "xy_ls")
+SPEED_R5 = dict(
+    SPEED,
+    mh_site_proposals=tuple((f, None, 300.0, 0.5) for f in _LS_FIELDS),
+    n_es_inner=2,
+)
 
 
 @pytest.fixture(autouse=True)
@@ -46,14 +56,16 @@ def _qfc_cpu(monkeypatch):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "config", [SPEED, SPEED_BLOCKED], ids=["site_wide", "blocked_adapt"]
+    "config",
+    [SPEED, SPEED_BLOCKED, SPEED_R5],
+    ids=["site_wide", "blocked_adapt", "r5_per_site"],
 )
 def test_neec_golden_in_speed_config(data_dir, config):
     """NEEC golden gate (>=50% of per-individual ITE means inside the
     reference's 90% CIs) in the f32 speed configurations."""
-    hp = cg.default_hyperparameters(
-        n_outer=25, n_u=2, n_mh_inner=3, n_es_inner=5, n_burn_in=10, **config
-    )
+    kw = dict(n_outer=25, n_u=2, n_mh_inner=3, n_es_inner=5, n_burn_in=10)
+    kw.update(config)
+    hp = cg.default_hyperparameters(**kw)
     g = cg.gpslc(
         str(data_dir / "NEEC_sampled.csv"), hyperparams=hp, seed=42, dtype=jnp.float32
     )
@@ -86,3 +98,21 @@ def test_sbc_in_speed_config(n_u, n_x, binary_t):
     )
     res = run_sbc(spec, hp, n_replications=30, seed=3, dtype=jnp.float32)
     assert res.passed, f"speed-config SBC rejected: {res.pvalues}"
+
+
+@pytest.mark.slow
+def test_sbc_round5_kernel():
+    """SBC rank-uniformity for the round-5 bench kernel (per-site ls-wide
+    mixture + es2 schedule) on the bench variant: the exact mixture density
+    in the Hastings ratio makes every per-site setting a valid MH kernel,
+    and fewer ES sweeps per outer leave the stationary distribution
+    untouched — this gates both claims statistically in the f32 path."""
+    spec = ModelSpec(n=12, n_u=1, n_x=None, binary_t=False)
+    kw = dict(
+        n_u=1, n_outer=60, n_mh_inner=5, n_es_inner=3, n_burn_in=10,
+        step_size=5, n_chains=1,
+    )
+    kw.update(SPEED_R5)
+    hp = cg.default_hyperparameters(**kw)
+    res = run_sbc(spec, hp, n_replications=30, seed=3, dtype=jnp.float32)
+    assert res.passed, f"round-5 kernel SBC rejected: {res.pvalues}"
